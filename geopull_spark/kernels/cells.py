@@ -1,0 +1,190 @@
+"""Spatial indexing kernels: geohash encode + quadtree cell grid.
+
+Geohash reproduces the reference's block-ID scheme exactly
+(``/root/reference/src/geopull/blocker.py:308-310`` — ``pgh.encode(y, x,
+precision=12)``): standard Niemeyer geohash, lon bit first, base32 alphabet.
+Implemented as vectorized numpy bit-interleaving (the iterative bisection of
+the textbook algorithm is equivalent to reading the bits of
+``floor(frac * 2**nbits)`` MSB-first).
+
+The cell grid is an S2-style equirectangular quadtree (Morton / Z-order
+interleave of quantized lon/lat) packed into an int64:
+
+    cell = (res << 58) | morton(lon_bits, lat_bits)     res in [0, 28]
+
+It powers every spatial join in the engine (SURVEY.md J1-J9): cover a
+geometry's bbox with cells at a resolution, equi-join on the cell key, then
+refine with the exact predicate. True icosahedral H3 is not implementable in
+this offline sandbox; the BASELINE.json north_star explicitly allows the
+S2-style fallback, and the API (cover / parent / k_ring) is kept
+H3-shaped so a real H3 kernel can be swapped in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BASE32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype=np.uint8)
+
+# ---------------------------------------------------------------------------
+# geohash
+# ---------------------------------------------------------------------------
+
+
+def _spread_bits32(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of v so bit i moves to bit 2i (Morton)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int = 12) -> np.ndarray:
+    """Vectorized geohash. Returns an object array of python strings.
+
+    Matches ``pygeohash.encode(lat, lon, precision)`` bit-for-bit: total
+    bits = 5*precision, alternating lon (even positions, MSB first) / lat.
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    # bisection bit k (MSB-first) of fraction f == bit (n-1-k) of floor(f*2^n)
+    fl = np.clip((lon + 180.0) / 360.0, 0.0, np.nextafter(1.0, 0.0))
+    fa = np.clip((lat + 90.0) / 180.0, 0.0, np.nextafter(1.0, 0.0))
+    qlon = np.floor(fl * (1 << nlon)).astype(np.uint64)
+    qlat = np.floor(fa * (1 << nlat)).astype(np.uint64)
+    # interleave MSB-first lon,lat,lon,...: for even totals the LSB is a lat
+    # bit (lon at odd positions); for odd totals the LSB is a lon bit.
+    if nlon > nlat:  # odd total
+        inter = _spread_bits32(qlon) | (_spread_bits32(qlat) << np.uint64(1))
+    else:
+        inter = (_spread_bits32(qlon) << np.uint64(1)) | _spread_bits32(qlat)
+    # emit base32, 5 bits per char, MSB first
+    out = np.empty((lat.size, precision), dtype=np.uint8)
+    for i in range(precision):
+        shift = np.uint64(5 * (precision - 1 - i))
+        out[:, i] = _BASE32[((inter >> shift) & np.uint64(31)).astype(np.int64)]
+    return np.array([row.tobytes().decode("ascii") for row in out], dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# quadtree cell grid (S2-style Morton cells)
+# ---------------------------------------------------------------------------
+
+MAX_RES = 28
+
+
+def cell_id(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """int64 cell id containing each point at resolution ``res``."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = 1 << res
+    fx = np.clip((lon + 180.0) / 360.0, 0.0, np.nextafter(1.0, 0.0))
+    fy = np.clip((lat + 90.0) / 180.0, 0.0, np.nextafter(1.0, 0.0))
+    ix = np.floor(fx * n).astype(np.uint64)
+    iy = np.floor(fy * n).astype(np.uint64)
+    return _pack(ix, iy, res)
+
+
+def _pack(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
+    morton = (_spread_bits32(ix) << np.uint64(1)) | _spread_bits32(iy)
+    packed = (np.uint64(res) << np.uint64(58)) | morton
+    return packed.astype(np.int64)
+
+
+def cell_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Invert _pack → (ix, iy, res)."""
+    cell = np.asarray(cell).astype(np.uint64)
+    res = (cell >> np.uint64(58)).astype(np.int64)
+    morton = cell & np.uint64((1 << 58) - 1)
+    ix = _compact_bits(morton >> np.uint64(1))
+    iy = _compact_bits(morton)
+    return ix.astype(np.int64), iy.astype(np.int64), res
+
+
+def _compact_bits(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    ix, iy, res = cell_xy(cell)
+    shift = res - parent_res
+    if np.any(shift < 0):
+        raise ValueError("parent_res must be <= cell res")
+    return _pack((ix >> shift).astype(np.uint64), (iy >> shift).astype(np.uint64), parent_res)
+
+
+def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int,
+               cap: int = 4096) -> np.ndarray:
+    """All cells at ``res`` whose tile intersects the bbox (inclusive).
+
+    ``cap`` guards against degenerate huge covers (caller should pick res by
+    geometry size; see :func:`res_for_extent`).
+    """
+    n = 1 << res
+    fx0 = np.clip((minx + 180.0) / 360.0, 0.0, np.nextafter(1.0, 0.0))
+    fx1 = np.clip((maxx + 180.0) / 360.0, 0.0, np.nextafter(1.0, 0.0))
+    fy0 = np.clip((miny + 90.0) / 180.0, 0.0, np.nextafter(1.0, 0.0))
+    fy1 = np.clip((maxy + 90.0) / 180.0, 0.0, np.nextafter(1.0, 0.0))
+    ix0, ix1 = int(fx0 * n), int(fx1 * n)
+    iy0, iy1 = int(fy0 * n), int(fy1 * n)
+    count = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    if count > cap:
+        raise ValueError(f"bbox cover of {count} cells exceeds cap {cap}; lower res")
+    ix = np.arange(ix0, ix1 + 1, dtype=np.uint64)
+    iy = np.arange(iy0, iy1 + 1, dtype=np.uint64)
+    gx, gy = np.meshgrid(ix, iy, indexing="ij")
+    return _pack(gx.ravel(), gy.ravel(), res)
+
+
+def k_ring(cell: np.ndarray, k: int = 1) -> np.ndarray:
+    """Cells within Chebyshev distance k (incl. self). Shape (n, (2k+1)^2).
+
+    Powers the kNN adjacency join (SURVEY.md J8): explode k_ring on one side,
+    equi-join on cell, refine by exact distance.
+    """
+    ix, iy, res = cell_xy(cell)
+    n = (1 << res).astype(np.int64)
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs, indexing="ij")
+    nx = ix[:, None] + dx.ravel()[None, :]
+    ny = iy[:, None] + dy.ravel()[None, :]
+    nx = np.mod(nx, n[:, None])  # wrap longitude
+    ny = np.clip(ny, 0, (n[:, None] - 1))  # clamp latitude
+    res_b = np.broadcast_to(res[:, None], nx.shape)
+    flat = _pack(nx.ravel().astype(np.uint64), ny.ravel().astype(np.uint64), 0)
+    # _pack above wrote res=0; rewrite with real per-cell res
+    flat = (flat.astype(np.uint64) & np.uint64((1 << 58) - 1)) | (
+        res_b.ravel().astype(np.uint64) << np.uint64(58)
+    )
+    return flat.astype(np.int64).reshape(nx.shape)
+
+
+def res_for_extent(width_deg: float, target_cells: int = 16) -> int:
+    """Pick a resolution so the extent spans roughly ``target_cells`` tiles."""
+    if width_deg <= 0:
+        return MAX_RES
+    r = int(np.log2(max(360.0 / width_deg, 1.0) * target_cells ** 0.5))
+    return int(np.clip(r, 0, MAX_RES))
+
+
+def cell_bounds(cell: int) -> tuple[float, float, float, float]:
+    ix, iy, res = cell_xy(np.asarray([cell]))
+    n = float(1 << int(res[0]))
+    w, h = 360.0 / n, 180.0 / n
+    minx = -180.0 + float(ix[0]) * w
+    miny = -90.0 + float(iy[0]) * h
+    return (minx, miny, minx + w, miny + h)

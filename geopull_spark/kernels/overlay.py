@@ -1,0 +1,207 @@
+"""Overlay algebra: union / intersection / difference on polygon sets.
+
+Replaces geopandas ``gpd.overlay`` / ``dissolve`` / ``unary_union``
+(``/root/reference/src/geopull/blocker.py:121-127`` difference,
+``:224-230`` intersection, ``:143`` dissolve-by-key,
+``normalizer.py:96,148`` dissolve, ``blocker.py:189-191`` unary_union
+difference) with one uniform algorithm that reuses the polygonize kernel:
+
+1. node the edges of every input ring together (shared snap grid),
+2. extract all planar faces,
+3. classify each face by a representative-point PIP against the inputs,
+4. keep faces passing the boolean predicate,
+5. re-polygonize only the kept faces' non-internal edges → merged result.
+
+This is the classical "overlay via arrangement + face classification"
+construction; robustness comes from the shared snap grid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wkb
+from .area import ring_signed_area
+from .pointops import point_in_geom, representative_point
+from .polygonize import (
+    _dedupe_segments,
+    _quant,
+    extract_faces,
+    geoms_to_segments,
+    node_segments,
+)
+
+
+def _as_polygons(geoms) -> list:
+    """Flatten to a list of Polygon tuple-geometries."""
+    polys = []
+    for g in geoms:
+        if g is None:
+            continue
+        for part in wkb.get_parts(g):
+            if part[0] == "Polygon":
+                polys.append(part)
+    return polys
+
+
+def _face_membership(faces, polys) -> np.ndarray:
+    """(n_faces, n_polys) bool: face rep-point inside polygon (even-odd),
+    with bbox prefilter."""
+    n_f, n_p = len(faces), len(polys)
+    out = np.zeros((n_f, n_p), dtype=bool)
+    if n_f == 0 or n_p == 0:
+        return out
+    reps = np.array([representative_point(f) for f in faces])
+    pb = np.array([wkb.bounds(p) for p in polys])
+    for j, poly in enumerate(polys):
+        cand = (
+            (reps[:, 0] >= pb[j, 0]) & (reps[:, 0] <= pb[j, 2])
+            & (reps[:, 1] >= pb[j, 1]) & (reps[:, 1] <= pb[j, 3])
+        )
+        if cand.any():
+            idx = np.flatnonzero(cand)
+            out[idx, j] = point_in_geom(reps[idx, 0], reps[idx, 1], poly)
+    return out
+
+
+def _merge_faces(faces: list[list[np.ndarray]]) -> list:
+    """Dissolve a set of faces into polygons by dropping edges shared by two
+    kept faces, then re-polygonizing the boundary and keeping faces that
+    cover the originals."""
+    if not faces:
+        return []
+    if len(faces) == 1:
+        return [("Polygon", faces[0])]
+    seg_arrays = []
+    for rings in faces:
+        seg_arrays.append(geoms_to_segments([("Polygon", rings)]))
+    all_segs = np.vstack(seg_arrays)
+    q = _quant(all_segs.reshape(-1, 2)).reshape(-1, 4)
+    # canonical undirected key; edges appearing 2+ times are internal
+    flip = (q[:, 0] > q[:, 2]) | ((q[:, 0] == q[:, 2]) & (q[:, 1] > q[:, 3]))
+    canon = q.copy()
+    canon[flip] = q[flip][:, [2, 3, 0, 1]]
+    uniq, counts = np.unique(canon, axis=0, return_counts=True)
+    boundary = uniq[counts == 1]
+    if len(boundary) == 0:
+        return []
+    out_faces = extract_faces(_dedupe_segments(boundary))
+    # keep result faces whose rep point lies in any input face
+    kept = []
+    inputs = [("Polygon", f) for f in faces]
+    member = _face_membership(out_faces, inputs)
+    for i, f in enumerate(out_faces):
+        if member[i].any():
+            kept.append(("Polygon", f))
+    return kept
+
+
+def overlay(a_geoms, b_geoms, how: str) -> list:
+    """Boolean overlay of two polygon sets → list of Polygon tuples.
+
+    how: 'union' | 'intersection' | 'difference' (A minus B).
+    """
+    pa = _as_polygons(a_geoms)
+    pb = _as_polygons(b_geoms)
+    if how == "difference" and not pb:
+        return pa
+    if how == "intersection" and (not pa or not pb):
+        return []
+    if how == "union" and (not pa or not pb):
+        return dissolve([wkb.dumps(p) for p in pa + pb])
+    segs = geoms_to_segments(pa + pb)
+    if len(segs) == 0:
+        return []
+    noded = node_segments(segs)
+    faces = extract_faces(noded)
+    in_a = _face_membership(faces, pa).any(axis=1)
+    in_b = _face_membership(faces, pb).any(axis=1)
+    if how == "union":
+        keep = in_a | in_b
+    elif how == "intersection":
+        keep = in_a & in_b
+    elif how == "difference":
+        keep = in_a & ~in_b
+    else:
+        raise ValueError(f"unknown overlay how={how}")
+    return _merge_faces([faces[i] for i in np.flatnonzero(keep)])
+
+
+def dissolve(wkb_bufs) -> list:
+    """Geometric union of many polygons (reference A2/A3/A5 dissolve /
+    unary_union). Input WKB buffers; output Polygon tuples."""
+    polys = _as_polygons([wkb.loads(b) for b in wkb_bufs if b is not None])
+    if not polys:
+        return []
+    if len(polys) == 1:
+        return polys
+    segs = geoms_to_segments(polys)
+    noded = node_segments(segs)
+    faces = extract_faces(noded)
+    keep = _face_membership(faces, polys).any(axis=1)
+    return _merge_faces([faces[i] for i in np.flatnonzero(keep)])
+
+
+def make_valid(geom) -> list:
+    """Subset of GEOS MakeValid: self-node each polygon's rings, keep faces
+    inside the original by even-odd winding (bow-ties split into lobes).
+    Reference F3 (``blocker.py:119`` etc.)."""
+    if geom is None:
+        return []
+    out = []
+    for part in wkb.get_parts(geom):
+        gtype, payload = part
+        if gtype != "Polygon":
+            out.append(part)
+            continue
+        segs = geoms_to_segments([part])
+        noded = node_segments(segs)
+        faces = extract_faces(noded)
+        if not faces:
+            continue
+        reps = np.array([representative_point(f) for f in faces])
+        # even-odd against the original ring set (handles self-intersection)
+        from .pointops import points_in_ring
+
+        inside = np.zeros(len(faces), dtype=bool)
+        crossings = np.zeros(len(faces), dtype=np.int64)
+        for ring in payload:
+            r = np.asarray(ring)
+            crossings += points_in_ring(reps[:, 0], reps[:, 1], r).astype(np.int64)
+        inside = (crossings % 2) == 1
+        for i in np.flatnonzero(inside):
+            out.append(("Polygon", faces[i]))
+    return out
+
+
+def normalize_geom(geom):
+    """Canonical form (reference F11, ``shapely.normalize`` blocker.py:276):
+    exterior CCW / holes CW, each ring rotated to start at its lexicographic
+    minimum vertex — makes output bit-reproducible."""
+    gtype, payload = geom
+    if gtype == "Polygon":
+        return ("Polygon", _normalize_rings(payload))
+    if gtype == "MultiPolygon":
+        parts = [_normalize_rings(rings) for rings in payload]
+        parts.sort(key=lambda rings: (rings[0][0, 0], rings[0][0, 1]))
+        return ("MultiPolygon", parts)
+    return geom
+
+
+def _normalize_rings(rings) -> list[np.ndarray]:
+    out = []
+    for k, ring in enumerate(rings):
+        r = np.asarray(ring, dtype=np.float64)
+        # drop closing vertex, dedupe consecutive duplicates
+        body = r[:-1] if np.array_equal(r[0], r[-1]) else r
+        keep = np.ones(len(body), dtype=bool)
+        keep[1:] = np.any(np.diff(body, axis=0) != 0, axis=1)
+        body = body[keep]
+        a = ring_signed_area(np.vstack([body, body[0]]))
+        want_ccw = k == 0
+        if (a > 0) != want_ccw:
+            body = body[::-1]
+        start = np.lexsort((body[:, 1], body[:, 0]))[0]
+        body = np.roll(body, -start, axis=0)
+        out.append(np.vstack([body, body[0]]))
+    return out

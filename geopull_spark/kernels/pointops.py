@@ -1,0 +1,107 @@
+"""Point predicates: point-in-polygon (ray casting) + representative point.
+
+The reference gets these from GEOS (``representative_point()`` at
+``/root/reference/src/geopull/blocker.py:308``; PIP implicitly inside
+``gpd.sjoin``). Here: vectorized numpy ray casting and a GEOS-style
+interior-point-on-scanline kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray-cast of many points against one closed ring.
+
+    Boundary points count as inside (closed polygon semantics; adequate for
+    doc→block assignment where docs are random interior points).
+    """
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    # edge straddles the horizontal ray through py
+    cond = (y0[None, :] > py) != (y1[None, :] > py)
+    dy = y1 - y0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x0[None, :] + (py - y0[None, :]) * (x1 - x0)[None, :] / dy[None, :]
+    crossings = np.sum(cond & (px < xin), axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd over all rings: inside exterior, outside holes."""
+    if not rings:
+        return np.zeros(len(px), dtype=bool)
+    inside = points_in_ring(px, py, rings[0])
+    for hole in rings[1:]:
+        inside &= ~points_in_ring(px, py, hole)
+    return inside
+
+
+def point_in_geom(px: np.ndarray, py: np.ndarray, geom) -> np.ndarray:
+    gtype, payload = geom
+    if gtype == "Polygon":
+        return points_in_polygon(px, py, payload)
+    if gtype == "MultiPolygon":
+        out = np.zeros(len(px), dtype=bool)
+        for rings in payload:
+            out |= points_in_polygon(px, py, rings)
+        return out
+    raise ValueError(f"point_in_geom expects polygons, got {gtype}")
+
+
+def _ring_scanline_crossings(rings: list[np.ndarray], y: float) -> np.ndarray:
+    """Sorted x's where the horizontal line at y crosses any ring edge."""
+    xs = []
+    for ring in rings:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        cond = (y0 > y) != (y1 > y)
+        dy = y1 - y0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = x0 + (y - y0) * (x1 - x0) / dy
+        xs.append(xin[cond])
+    if not xs:
+        return np.array([])
+    return np.sort(np.concatenate(xs))
+
+
+def representative_point(rings: list[np.ndarray]) -> tuple[float, float]:
+    """A point guaranteed strictly inside the polygon (GEOS-style).
+
+    Scanline at the bbox y-midpoint (nudged off any vertex y), take the
+    midpoint of the widest inside interval. Mirrors GEOS InteriorPointArea,
+    used by the reference for geohash block IDs (``blocker.py:308``).
+    """
+    ext = rings[0]
+    ymin, ymax = float(ext[:, 1].min()), float(ext[:, 1].max())
+    y = 0.5 * (ymin + ymax)
+    all_y = np.unique(np.concatenate([r[:, 1] for r in rings]))
+    # nudge off vertex levels: bisect toward the adjacent distinct vertex y —
+    # the midpoint of two adjacent levels can never itself be a level
+    if np.any(np.isclose(all_y, y, rtol=0, atol=1e-15)):
+        upper = all_y[all_y > y + 1e-15]
+        lower = all_y[all_y < y - 1e-15]
+        if len(upper):
+            y = 0.5 * (y + upper.min())
+        elif len(lower):
+            y = 0.5 * (y + lower.max())
+    xs = _ring_scanline_crossings(rings, y)
+    if len(xs) < 2:
+        # degenerate: fall back to vertex centroid of exterior
+        return float(ext[:-1, 0].mean()), float(ext[:-1, 1].mean())
+    # even-odd: intervals [xs[0],xs[1]], [xs[2],xs[3]], ... are inside
+    widths = xs[1::2] - xs[0::2][: len(xs[1::2])]
+    i = int(np.argmax(widths))
+    return float(0.5 * (xs[2 * i] + xs[2 * i + 1])), float(y)
+
+
+def segments_intersect_bbox(seg: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    """Quick bbox rejection for segment arrays shaped (n, 4) = x0,y0,x1,y1."""
+    sx0 = np.minimum(seg[:, 0], seg[:, 2])
+    sx1 = np.maximum(seg[:, 0], seg[:, 2])
+    sy0 = np.minimum(seg[:, 1], seg[:, 3])
+    sy1 = np.maximum(seg[:, 1], seg[:, 3])
+    return (sx1 >= minx) & (sx0 <= maxx) & (sy1 >= miny) & (sy0 <= maxy)

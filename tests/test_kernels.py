@@ -1,0 +1,305 @@
+"""Kernel unit tests against hand-computed goldens.
+
+Fixture geometries mirror the reference's own unit tests
+(/root/reference/tests/test_blocker.py:14-54, tests/test_normalizer.py:16-28)
+so expected outputs are independently verifiable.
+"""
+
+import numpy as np
+import pytest
+
+from geopull_spark.kernels import area, cells, overlay, pointops, polygonize, wkb
+
+UNIT_SQ = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+TWO_SQ = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]
+
+
+# ---------------------------------------------------------------- wkb
+def test_wkb_roundtrip_polygon():
+    buf = wkb.polygon(UNIT_SQ, holes=[[(0.25, 0.25), (0.25, 0.5), (0.5, 0.5), (0.5, 0.25)]])
+    g = wkb.loads(buf)
+    assert g[0] == "Polygon"
+    assert len(g[1]) == 2
+    assert wkb.dumps(g) == buf
+    assert wkb.bounds(g) == (0.0, 0.0, 1.0, 1.0)
+
+
+def test_wkb_multilinestring_parts():
+    ls1 = np.array([[0.0, 0.0], [1.0, 1.0]])
+    ls2 = np.array([[2.0, 2.0], [3.0, 3.0]])
+    buf = wkb.dumps(("MultiLineString", [ls1, ls2]))
+    parts = wkb.get_parts(wkb.loads(buf))
+    assert [p[0] for p in parts] == ["LineString", "LineString"]
+    assert np.allclose(parts[1][1], ls2)
+
+
+def test_wkb_big_endian_parse():
+    import struct
+
+    buf = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 3.0, 4.0)
+    g = wkb.loads(buf)
+    assert g[0] == "Point" and np.allclose(g[1], [3.0, 4.0])
+
+
+# ---------------------------------------------------------------- geohash
+def test_geohash_known_values():
+    # canonical example from the geohash literature
+    gh = cells.geohash_encode(np.array([57.64911]), np.array([10.40744]), 11)
+    assert gh[0] == "u4pruydqqvj"
+    gh = cells.geohash_encode(np.array([42.6]), np.array([-5.6]), 5)
+    assert gh[0] == "ezs42"
+    # vectorized batch
+    gh = cells.geohash_encode(np.array([0.0, -90.0, 90.0]), np.array([0.0, -180.0, 180.0]), 12)
+    assert gh[0] == "s00000000000"
+    assert gh[1] == "000000000000"
+
+
+def test_geohash_precision12_stability():
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-85, 85, 100)
+    lon = rng.uniform(-179, 179, 100)
+    g1 = cells.geohash_encode(lat, lon, 12)
+    g2 = cells.geohash_encode(lat, lon, 12)
+    assert (g1 == g2).all()
+    # prefix property: precision 6 is a prefix of precision 12
+    g6 = cells.geohash_encode(lat, lon, 6)
+    assert all(a.startswith(b) for a, b in zip(g1, g6))
+
+
+# ---------------------------------------------------------------- cells
+def test_cell_roundtrip_and_parent():
+    lon = np.array([-87.6, 10.4, 179.9])
+    lat = np.array([41.9, 57.6, -89.9])
+    c = cells.cell_id(lon, lat, 12)
+    ix, iy, res = cells.cell_xy(c)
+    assert (res == 12).all()
+    p = cells.cell_parent(c, 8)
+    _, _, pres = cells.cell_xy(p)
+    assert (pres == 8).all()
+    # parent of parent == direct coarse
+    assert (cells.cell_parent(c, 8) == cells.cell_parent(cells.cell_parent(c, 10), 8)).all()
+
+
+def test_cover_bbox_contains_point_cell():
+    c = cells.cell_id(np.array([10.5]), np.array([45.5]), 10)[0]
+    cover = cells.cover_bbox(10.0, 45.0, 11.0, 46.0, 10)
+    assert c in set(cover.tolist())
+
+
+def test_k_ring_shape_and_self():
+    c = cells.cell_id(np.array([10.5]), np.array([45.5]), 10)
+    ring = cells.k_ring(c, 1)
+    assert ring.shape == (1, 9)
+    assert c[0] in set(ring[0].tolist())
+    assert len(set(ring[0].tolist())) == 9
+
+
+# ---------------------------------------------------------------- area
+def test_equator_square_area():
+    # 1x1 deg at the equator ≈ 111.32km * 110.57km; EPSG:3395 inflates y
+    # slightly. Sanity window: planar mercator area of the projected square.
+    buf = wkb.polygon(UNIT_SQ)
+    a = area.wkb_area_m2(buf)
+    proj = area.mercator_3395(np.array(UNIT_SQ + [UNIT_SQ[0]], dtype=float))
+    expected = abs(area.ring_signed_area(proj))
+    assert a == pytest.approx(expected)
+    assert 1.2e10 < a < 1.3e10  # ~111km * ~110.6km
+
+
+def test_area_hole_subtracts():
+    outer = wkb.polygon(TWO_SQ)
+    with_hole = wkb.polygon(TWO_SQ, holes=[UNIT_SQ])
+    assert area.wkb_area_m2(with_hole) < area.wkb_area_m2(outer)
+
+
+def test_mercator_inverse_roundtrip():
+    pts = np.array([[10.4, 57.6], [-87.6, 41.9], [0.0, 0.0]])
+    back = area.inverse_mercator_3395(area.mercator_3395(pts))
+    assert np.allclose(back, pts, atol=1e-9)
+
+
+# ---------------------------------------------------------------- pointops
+def test_pip_square():
+    rings = [np.array(UNIT_SQ + [UNIT_SQ[0]], dtype=float)]
+    px = np.array([0.5, 1.5, -0.1, 0.99])
+    py = np.array([0.5, 0.5, 0.5, 0.01])
+    assert pointops.points_in_polygon(px, py, rings).tolist() == [True, False, False, True]
+
+
+def test_pip_hole():
+    rings = [
+        np.array(TWO_SQ + [TWO_SQ[0]], dtype=float),
+        np.array([[0.5, 0.5], [0.5, 1.0], [1.0, 1.0], [1.0, 0.5], [0.5, 0.5]]),
+    ]
+    px = np.array([0.75, 0.25, 1.75])
+    py = np.array([0.75, 0.25, 1.75])
+    assert pointops.points_in_polygon(px, py, rings).tolist() == [False, True, True]
+
+
+def test_representative_point_inside():
+    rings = [np.array(UNIT_SQ + [UNIT_SQ[0]], dtype=float)]
+    x, y = pointops.representative_point(rings)
+    assert pointops.points_in_polygon(np.array([x]), np.array([y]), rings)[0]
+    # with a central hole the rep point must dodge it
+    rings_h = rings + [np.array([[0.4, 0.4], [0.4, 0.6], [0.6, 0.6], [0.6, 0.4], [0.4, 0.4]])]
+    x, y = pointops.representative_point(rings_h)
+    assert pointops.points_in_polygon(np.array([x]), np.array([y]), rings_h)[0]
+
+
+# ---------------------------------------------------------------- polygonize
+def _wkb_sq(coords):
+    return wkb.polygon(coords)
+
+
+def test_polygonize_square_plus_diagonal():
+    """Reference fixture (tests/test_blocker.py:14-39): unit square boundary +
+    diagonal (0,0)-(1,1) → two triangle faces."""
+    geoms = [
+        wkb.loads(wkb.linestring(UNIT_SQ + [UNIT_SQ[0]])),
+        wkb.loads(wkb.linestring([(0.0, 0.0), (1.0, 1.0)])),
+    ]
+    faces = polygonize.polygonize_geoms(geoms)
+    assert len(faces) == 2
+    areas = sorted(abs(area.ring_signed_area(f[1][0])) for f in faces)
+    assert np.allclose(areas, [0.5, 0.5])
+
+
+def test_polygonize_duplicated_lines_dedupe():
+    """The reference fixture duplicates the diagonal — dedupe must collapse."""
+    geoms = [
+        wkb.loads(wkb.linestring(UNIT_SQ + [UNIT_SQ[0]])),
+        wkb.loads(wkb.linestring([(0.0, 0.0), (1.0, 1.0)])),
+        wkb.loads(wkb.linestring([(0.0, 0.0), (1.0, 1.0)])),
+    ]
+    assert len(polygonize.polygonize_geoms(geoms)) == 2
+
+
+def test_polygonize_cross_noding():
+    """Two crossing diagonals inside a square → 4 faces via a proper
+    intersection that exists in no input."""
+    geoms = [
+        wkb.loads(wkb.linestring(UNIT_SQ + [UNIT_SQ[0]])),
+        wkb.loads(wkb.linestring([(0.0, 0.0), (1.0, 1.0)])),
+        wkb.loads(wkb.linestring([(0.0, 1.0), (1.0, 0.0)])),
+    ]
+    faces = polygonize.polygonize_geoms(geoms)
+    assert len(faces) == 4
+    assert sum(abs(area.ring_signed_area(f[1][0])) for f in faces) == pytest.approx(1.0)
+
+
+def test_polygonize_dangle_ignored():
+    geoms = [
+        wkb.loads(wkb.linestring(UNIT_SQ + [UNIT_SQ[0]])),
+        wkb.loads(wkb.linestring([(0.5, 0.5), (0.7, 0.9)])),  # dangle
+    ]
+    faces = polygonize.polygonize_geoms(geoms)
+    assert len(faces) == 1
+    assert abs(area.ring_signed_area(faces[0][1][0])) == pytest.approx(1.0)
+
+
+def test_polygonize_t_junction():
+    """Horizontal line ending exactly on the square edge (T-junction)."""
+    geoms = [
+        wkb.loads(wkb.linestring(UNIT_SQ + [UNIT_SQ[0]])),
+        wkb.loads(wkb.linestring([(0.0, 0.5), (1.0, 0.5)])),
+    ]
+    faces = polygonize.polygonize_geoms(geoms)
+    assert len(faces) == 2
+    areas = sorted(abs(area.ring_signed_area(f[1][0])) for f in faces)
+    assert np.allclose(areas, [0.5, 0.5])
+
+
+def test_polygonize_island_hole():
+    """A small square inside a big one → big face carries the island hole,
+    island face also emitted (GEOS polygonize semantics)."""
+    inner = [(0.4, 0.4), (0.6, 0.4), (0.6, 0.6), (0.4, 0.6)]
+    geoms = [
+        wkb.loads(wkb.linestring(UNIT_SQ + [UNIT_SQ[0]])),
+        wkb.loads(wkb.linestring(inner + [inner[0]])),
+    ]
+    faces = polygonize.polygonize_geoms(geoms)
+    assert len(faces) == 2
+    by_rings = sorted(faces, key=lambda f: len(f[1]), reverse=True)
+    assert len(by_rings[0][1]) == 2  # outer face with hole
+    assert len(by_rings[1][1]) == 1  # island face
+    outer_area = area.polygon_area(by_rings[0][1])
+    assert outer_area == pytest.approx(1.0 - 0.04)
+
+
+def test_line_merge_chains():
+    segs = np.array(
+        [[0, 0, 1, 0], [1, 0, 2, 0], [2, 0, 2, 1], [5, 5, 6, 5]], dtype=float
+    )
+    merged = polygonize.line_merge(segs)
+    lens = sorted(len(m) for m in merged)
+    assert lens == [2, 4]
+
+
+# ---------------------------------------------------------------- overlay
+def test_overlay_intersection_offset_squares():
+    a = [wkb.loads(_wkb_sq(UNIT_SQ))]
+    b = [wkb.loads(_wkb_sq([(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)]))]
+    out = overlay.overlay(a, b, "intersection")
+    assert len(out) == 1
+    assert area.polygon_area(out[0][1]) == pytest.approx(0.25)
+
+
+def test_overlay_difference():
+    a = [wkb.loads(_wkb_sq(UNIT_SQ))]
+    b = [wkb.loads(_wkb_sq([(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)]))]
+    out = overlay.overlay(a, b, "difference")
+    total = sum(area.polygon_area(p[1]) for p in out)
+    assert total == pytest.approx(0.75)
+
+
+def test_overlay_union_merges():
+    a = [wkb.loads(_wkb_sq(UNIT_SQ))]
+    b = [wkb.loads(_wkb_sq([(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0)]))]
+    out = overlay.overlay(a, b, "union")
+    assert len(out) == 1
+    assert area.polygon_area(out[0][1]) == pytest.approx(2.0)
+
+
+def test_dissolve_three_overlapping():
+    """Reference overlap fixture (tests/test_blocker.py:142-154): 3 mutually
+    overlapping polys dissolve to one region."""
+    tri = wkb.polygon([(0.0, 0.0), (1.0, 1.0), (1.0, 0.0)])
+    sq = wkb.polygon(UNIT_SQ)
+    small = wkb.polygon([(0.0, 0.0), (0.0, 0.5), (0.5, 0.5), (0.5, 0.0)])
+    out = overlay.dissolve([tri, sq, small])
+    assert len(out) == 1
+    assert area.polygon_area(out[0][1]) == pytest.approx(1.0)
+
+
+def test_dissolve_hole_preserved():
+    """Union of a ring of 4 rectangles around a hole keeps the hole."""
+    rects = [
+        wkb.polygon([(0, 0), (3, 0), (3, 1), (0, 1)]),
+        wkb.polygon([(0, 2), (3, 2), (3, 3), (0, 3)]),
+        wkb.polygon([(0, 0), (1, 0), (1, 3), (0, 3)]),
+        wkb.polygon([(2, 0), (3, 0), (3, 3), (2, 3)]),
+    ]
+    out = overlay.dissolve(rects)
+    assert len(out) == 1
+    assert len(out[0][1]) == 2  # exterior + hole
+    assert area.polygon_area(out[0][1]) == pytest.approx(8.0)
+
+
+def test_make_valid_bowtie():
+    """Bow-tie polygon (reference fixture tests/test_blocker.py:147) splits
+    into two lobes."""
+    bow = wkb.dumps(
+        ("Polygon", [np.array([[0, 0], [0, 1], [1, 0], [1, 1], [0, 0]], dtype=float)])
+    )
+    parts = overlay.make_valid(wkb.loads(bow))
+    assert len(parts) == 2
+    total = sum(area.polygon_area(p[1]) for p in parts)
+    assert total == pytest.approx(0.5)
+
+
+def test_normalize_deterministic():
+    ring = [(1.0, 1.0), (0.0, 1.0), (0.0, 0.0), (1.0, 0.0)]
+    g1 = overlay.normalize_geom(wkb.loads(wkb.polygon(ring)))
+    g2 = overlay.normalize_geom(wkb.loads(wkb.polygon(list(reversed(ring)))))
+    assert wkb.dumps(g1) == wkb.dumps(g2)
+    assert tuple(g1[1][0][0]) == (0.0, 0.0)  # starts at lexicographic min
