@@ -1,38 +1,480 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (synthetic OSM world → extract →
+normalize → polygonize blocks → doc→block PIP assignment) at sf0.001 and
+returns docs-per-block. ``queries()``/``oracle_sql()`` cover the operator
+inventory from SURVEY.md §2 plus the training-data-pipeline operators
+(dedup / text analysis / similarity); SQL-expressible ones carry a DuckDB
+oracle, pure-geometry ones get rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: block delineation + doc→block join at sf0.001."""
+    from geopull_spark.plans.pipeline import run_pipeline
+
+    wh = os.path.join(tempfile.gettempdir(), "geopull_spark_wh_entry")
+    out = run_pipeline(
+        spark, wh, sf_dir="/root/testdata/sf0.001", streets_per_region=40
+    )
+    return (
+        out["doc_blocks"]
+        .filter(F.col("block_id").isNotNull())
+        .groupBy("region_code", "block_id")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("block_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# geometry pipeline queries (rows-only oracle checks)
+# ---------------------------------------------------------------------------
+
+
+def _pipeline(spark: SparkSession, sf_dir: str):
+    from geopull_spark.plans.pipeline import run_pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = os.path.join(tempfile.gettempdir(), f"geopull_spark_wh_{tag}")
+    return run_pipeline(spark, wh, sf_dir=sf_dir, streets_per_region=60)
+
+
+def q_blocks_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 polygonize + full reference DAG → stable block ids (rows-only)."""
+    blocks = _pipeline(spark, sf_dir)["blocks"]
+    return blocks.select(
+        "region_code", "block_id", F.round("area_m2", 2).alias("area_m2")
+    ).orderBy("block_id")
+
+
+def q_doc_block_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 doc→block PIP assignment (rows-only)."""
+    out = _pipeline(spark, sf_dir)["doc_blocks"]
+    return out.select("doc_id", "block_id").orderBy("doc_id")
+
+
+def q_knn_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 kNN block adjacency via k-ring cells (rows-only)."""
+    from geopull_spark.operators.spatial_join import knn_blocks
+
+    blocks = _pipeline(spark, sf_dir)["blocks"]
+    return knn_blocks(blocks, k=3).select("block_id", "nbr_id", "rk").orderBy(
+        "block_id", "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-parity queries (DuckDB oracles) — relational operator inventory
+# ---------------------------------------------------------------------------
+
+
+def q_doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc→(region, lon, lat) derivation (exact int math)."""
+    from geopull_spark.sources.synth import interleaved_documents
+
+    return interleaved_documents(spark, sf_dir).select(
+        "doc_id", "region_code", "lon", "lat"
+    )
+
+
+def q_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span expansion flattened (span-sequence ground truth)."""
+    from geopull_spark.sources.synth import interleaved_documents
+
+    docs = interleaved_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("span_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def q_spans_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence invariant (kind, text, media_ref, order) preserved
+    through a shuffle: explode → full shuffle (repartition by span hash) →
+    regroup ordered by offset → per-doc fingerprint."""
+    from geopull_spark.sources.synth import interleaved_documents
+
+    docs = interleaved_documents(spark, sf_dir)
+    flat = docs.select("doc_id", F.explode("spans").alias("s"))
+    shuffled = flat.repartition(16, F.xxhash64("doc_id", F.col("s.offset")))
+    regrouped = (
+        shuffled.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("spans2"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.to_json(
+                    F.expr(
+                        "transform(array_sort(spans2, (a,b) -> a.offset - b.offset),"
+                        " x -> struct(x.kind, coalesce(x.text,'') as text,"
+                        " coalesce(x.media_ref,'') as media_ref, x.offset))"
+                    )
+                )
+            ).alias("span_fingerprint"),
+        )
+    )
+    return regrouped
+
+
+def q_pushdown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4: projection + predicate + cast (pushed to parquet scan)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 25))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            # exact integer-cents rounding: floor(x*100 + 0.5) is bit-identical
+            # across engines, unlike round-half on doubles
+            (F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5) / 100.0).alias("net_price"),
+        )
+    )
+
+
+def q_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4/A6: grouped sums + count distinct (TPC-H Q1 shape)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # integer-cent sum: per-row exact, order-independent across engines
+            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)).alias("revenue_cents"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: georank analog — row_number within group, deterministic order."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w) - 1)
+        .filter(F.col("rk") < 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q_window_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: forward-fill (last ignorenulls) — blocker.py:199 code ffill."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    masked = e.withColumn(
+        "v", F.when(F.col("event_type") != "click", F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return masked.select(
+        "user_id",
+        "event_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_filled"),
+    )
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: broadcast dimension joins (customer⋈nation⋈region) + agg."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/U2: left-anti membership (customers with no orders)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + A8: union of two slices + distinct values."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = p.filter(F.col("p_size") < 10).select("p_brand", "p_type")
+    b = p.filter(F.col("p_retailprice") > 1500).select("p_brand", "p_type")
+    return a.unionByName(b).distinct()
+
+
+def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 symmetric-pair dedupe: self-join + id inequality (sjoin analog on a
+    1-D interval key: orders of the same customer on the same date)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderdate") == F.col("b.o_orderdate"))
+            & (F.col("a.o_orderkey") > F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("left_key"),
+            F.col("b.o_orderkey").alias("right_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash-groupBy (keep min doc_id per group)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token count, punctuation counts, stopword hits
+    (exact integer string arithmetic — cross-engine reproducible)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1).alias("n_tokens"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit("")))).alias("n_periods"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))) / 5
+        ).cast("int").alias("n_the"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column (F.aggregate /
+    zip_with dot product — JVM-side, no UDF)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.array([F.lit(float(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    qnorm = float(sum(float(x) * float(x) for x in qv)) ** 0.5
+    sim = dot / (norm * F.lit(qnorm))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket
+    self-join). Hash function engine-specific → rows-only check."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shingled = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(int(length(text)/8) - 1, 0)),"
+            " i -> xxhash64(substr(text, i*8 + 1, 16)))"
+        ).alias("shingles"),
+    )
+    NBANDS = 4
+    mh = shingled.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(shingles, s -> xxhash64(s, {b})))"
+            ).alias(f"band{b}")
+            for b in range(NBANDS)
+        ],
+    )
+    pairs = None
+    for b in range(NBANDS):
+        a = mh.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        c = mh.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        p = a.join(c, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "blocks_build": q_blocks_build,
+    "doc_block_assign": q_doc_block_assign,
+    "knn_blocks": q_knn_blocks,
+    "doc_points": q_doc_points,
+    "spans_flat": q_spans_flat,
+    "spans_invariant": q_spans_invariant,
+    "pushdown_filter": q_pushdown_filter,
+    "grouped_agg": q_grouped_agg,
+    "window_rank": q_window_rank,
+    "window_ffill": q_window_ffill,
+    "broadcast_join": q_broadcast_join,
+    "anti_join": q_anti_join,
+    "union_distinct": q_union_distinct,
+    "overlap_pairs": q_overlap_pairs,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "ann_cosine": q_ann_cosine,
+    "minhash_neardup": q_minhash_neardup,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SPANS_SQL_CORE = """
+    SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+           CAST(i AS INT) AS span_idx,
+           CASE (d.doc_id + i) % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS kind,
+           CASE WHEN (d.doc_id + i) % 3 = 0
+                THEN substr(d.text, CAST(i * ceil(d.n_chars / (d.doc_id % 4 + 1)) AS INT) + 1,
+                            CAST(ceil(d.n_chars / (d.doc_id % 4 + 1)) AS INT))
+                ELSE NULL END AS span_text,
+           CASE WHEN (d.doc_id + i) % 3 != 0
+                THEN concat('m', CAST(d.doc_id AS VARCHAR), '_', CAST(i AS VARCHAR))
+                ELSE NULL END AS media_ref,
+           CAST(i * ceil(d.n_chars / (d.doc_id % 4 + 1)) AS INT) AS "offset"
+    FROM documents d JOIN (SELECT i FROM range(0, 4) t(i)) s ON s.i <= d.doc_id % 4
+
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_points": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'AAA' WHEN 1 THEN 'BBB' ELSE 'CCC' END AS region_code,
+                   (CASE doc_id % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 2.0 ELSE 4.0 END)
+                     + ((doc_id * 48271) % 100000) / 100000.0 AS lon,
+                   ((doc_id * 69621) % 100000) / 100000.0 AS lat
+            FROM documents
+        """,
+        "spans_flat": _SPANS_SQL_CORE,
+        "pushdown_filter": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS INT) AS qty_int,
+                   floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100.0 AS net_price
+            FROM lineitem
+            WHERE l_shipdate < DATE '1996-01-01' AND l_quantity > 25
+        """,
+        "grouped_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_rows,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) - 1 AS rk
+              FROM orders) WHERE rk < 3
+        """,
+        "window_ffill": """
+            SELECT user_id, event_id,
+                   round(last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+            FROM (SELECT user_id, event_id, ts,
+                         CASE WHEN event_type != 'click' THEN value END AS v
+                  FROM events)
+        """,
+        "broadcast_join": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "union_distinct": """
+            SELECT DISTINCT p_brand, p_type FROM (
+              SELECT p_brand, p_type FROM part WHERE p_size < 10
+              UNION ALL
+              SELECT p_brand, p_type FROM part WHERE p_retailprice > 1500)
+        """,
+        "overlap_pairs": """
+            SELECT a.o_custkey AS custkey, a.o_orderkey AS left_key, b.o_orderkey AS right_key
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey AND a.o_orderdate = b.o_orderdate
+             AND a.o_orderkey > b.o_orderkey
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_copies,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   length(text) - length(replace(text, '.', '')) AS n_periods,
+                   CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT) AS n_the,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "ann_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT e.vec_id,
+                     list_sum(list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     AS sim
+              FROM embeddings e, q WHERE e.vec_id != 0)
+            SELECT vec_id, round(sim, 4) AS cos_sim
+            FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+    }

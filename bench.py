@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Headliners:
+  blocks_build   — synthetic OSM world → extract → normalize → polygonize
+                   blocks (the reference's whole pipeline, E1)
+  doc_assign     — interleaved docs (expanded ×DOC_FACTOR) → cell join →
+                   PIP refine → per-block assignment (the target join, J7)
+  grouped_agg / window_rank / broadcast_join — relational inventory at sf
+  minhash_neardup / ann_cosine / text_stats  — training-data operators
+
+Extra keys (beyond the driver contract): docs_per_sec, blocks_per_sec,
+n_blocks, n_docs — the BASELINE.md throughput metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    streets = int(os.environ.get("BENCH_STREETS_PER_REGION", "1500"))
+    doc_factor = int(os.environ.get("BENCH_DOC_FACTOR", "40"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    from pyspark.sql import functions as F
+
+    from geopull_spark.session import get_spark
+    from geopull_spark.operators import blocker, extract, normalize, spatial_join
+    from geopull_spark.sources import synth
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- blocks_build -----------------------------------------------------
+    t0 = time.time()
+    ways = synth.gen_osm_ways(spark, streets_per_region=streets)
+    admin = extract.extract_admin(ways)
+    water = extract.extract_water(ways)
+    lines = extract.extract_linestrings(ways)
+    land = normalize.normalize_land(admin, water, synth.gen_coastline(spark))
+    blocks = blocker.build_blocks(land, lines).persist()
+    n_blocks = blocks.count()
+    times["blocks_build"] = time.time() - t0
+    extras["n_blocks"] = n_blocks
+    extras["blocks_per_sec"] = n_blocks / times["blocks_build"]
+
+    # -- doc_assign --------------------------------------------------------
+    t0 = time.time()
+    docs = synth.interleaved_documents(spark, sf_dir)
+    if doc_factor > 1:
+        # deterministic expansion: doc_factor jittered copies of each point
+        docs = docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(doc_factor - 1))))
+        docs = (
+            docs.withColumn("doc_id", F.concat_ws("_", "doc_id", "rep"))
+            .withColumn(
+                "lon",  # jitter within the doc's region (regions start at even lon)
+                (F.col("lon") - F.col("lon") % 2)
+                + ((F.xxhash64("doc_id") % 100000 + 100000) % 100000) / 100000.0,
+            )
+            .withColumn(
+                "lat",
+                ((F.xxhash64("doc_id", F.lit(1)) % 100000 + 100000) % 100000) / 100000.0,
+            )
+            .drop("rep")
+        )
+    bc = spatial_join.build_block_cell_index(blocks).persist()
+    bc.count()
+    assigned = spatial_join.assign_docs_to_blocks(docs.select("doc_id", "lon", "lat"), bc)
+    n_assigned = assigned.count()
+    n_docs = docs.count()
+    times["doc_assign"] = time.time() - t0
+    extras["n_docs"] = n_docs
+    extras["n_assigned"] = n_assigned
+    extras["docs_per_sec"] = n_docs / times["doc_assign"]
+
+    # -- relational + training-data headliners -----------------------------
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entrymod", os.path.join(REPO, "__spark_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    for name in ["grouped_agg", "window_rank", "broadcast_join",
+                 "minhash_neardup", "ann_cosine", "text_stats"]:
+        fn = m.queries()[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = time.time() - t0
+
+    total = sum(times.values())
+    out = {
+        "metric": "e2e_headline_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

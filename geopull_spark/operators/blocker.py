@@ -1,0 +1,201 @@
+"""Block delineation: land parts + street lines → street blocks with stable IDs.
+
+Distributed translation of ``Blocker.build_blocks``
+(``/root/reference/src/geopull/blocker.py:63-80``). The region is the group
+key (the reference's per-country unit, orchestrator.py:87-91); land and lines
+are cogrouped and the whole DAG runs as one Arrow-batched kernel per region:
+
+  _make_blocks   (blocker.py:233-279): clip lines to land (F14), land
+                 exterior-ring enclosure (F13), polygonize (F10)
+  _validate      (blocker.py:281-294): make_valid + explode + Polygon-only
+  _add_back_water(blocker.py:202-231): per-block ∩ land when Σblocks > Σland
+  _remove_overlaps(blocker.py:82-164): area>1m² filter; polygonize faces are
+                 disjoint by construction so the sjoin path is usually empty,
+                 but the correction path (boundary → re-polygonize →
+                 difference → dissolve-by-id) is implemented for parity
+  _residual_area_check(blocker.py:166-200): add back land − ∪blocks
+  _geohash_blocks(blocker.py:296-322): representative point → geohash12 →
+                 georank (cumcount per geohash, W1) → block_id
+
+Determinism fix vs the reference (documented, SURVEY.md W1): pandas
+``cumcount`` after the geohash sort breaks ties by prior row order; we order
+ties by canonical WKB bytes so ``georank`` is reproducible under any
+partitioning.
+
+Scale note: one group = one region (matching reference semantics). For
+continental-scale regions the group key becomes (region, land_part) — land
+parts are disjoint after dissolve, so polygonize per part is semantically
+identical and restores intra-region parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import wkb as _wkb
+from ..kernels.area import geom_area_m2
+from ..kernels.cells import geohash_encode
+from ..kernels.clip import clip_segments_to_polygons
+from ..kernels.overlay import dissolve as _dissolve
+from ..kernels.overlay import make_valid as _make_valid
+from ..kernels.overlay import normalize_geom, overlay as _overlay_op
+from ..kernels.pointops import representative_point
+from ..kernels.polygonize import (
+    extract_faces,
+    geoms_to_segments,
+    line_merge,
+    node_segments,
+)
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("region_code", T.StringType()),
+        T.StructField("block_id", T.StringType()),
+        T.StructField("geometry", T.BinaryType()),
+        T.StructField("area_m2", T.DoubleType()),
+        T.StructField("rep_lon", T.DoubleType()),
+        T.StructField("rep_lat", T.DoubleType()),
+    ]
+)
+
+
+def _validate(polys: list) -> list:
+    """blocker.py:281-294: make_valid, explode, keep Polygon parts."""
+    out = []
+    for p in polys:
+        for v in _make_valid(p):
+            if v[0] == "Polygon":
+                out.append(v)
+            elif v[0] == "MultiPolygon":
+                out.extend(("Polygon", rings) for rings in v[1])
+    return out
+
+
+def _make_blocks(land_parts: list, line_geoms: list) -> list:
+    """blocker.py:233-279."""
+    line_segs = geoms_to_segments(line_geoms)
+    clipped = clip_segments_to_polygons(line_segs, land_parts)
+    # enclosure: exterior rings only (blocker.py:353-366)
+    enclosure_segs = geoms_to_segments(
+        [("LineString", rings[0]) for _, rings in land_parts]
+    )
+    all_segs = (
+        np.vstack([clipped, enclosure_segs]) if len(clipped) else enclosure_segs
+    )
+    noded = node_segments(all_segs)
+    faces = extract_faces(noded)
+    return [("Polygon", rings) for rings in faces]
+
+
+def _remove_overlaps(blocks: list, region: str) -> list:
+    """blocker.py:82-164. Polygonize faces are disjoint; the correction path
+    exists for parity with the reference's overlap fixture."""
+    blocks = [b for b in blocks if geom_area_m2(b) > 1.0]
+    n = len(blocks)
+    if n < 2:
+        return blocks
+    boxes = np.array([_wkb.bounds(b) for b in blocks])
+    pairs = []
+    order = np.argsort(boxes[:, 0])
+    for oi in range(n):
+        i = order[oi]
+        for oj in range(oi + 1, n):
+            j = order[oj]
+            if boxes[j, 0] > boxes[i, 2]:
+                break
+            if boxes[j, 1] <= boxes[i, 3] and boxes[j, 3] >= boxes[i, 1]:
+                inter = _overlay_op([blocks[i]], [blocks[j]], "intersection")
+                if inter and sum(geom_area_m2(p) for p in inter) > 0:
+                    pairs.append((int(min(i, j)), int(max(i, j))))
+    if not pairs:
+        return blocks
+    overlap_ids = sorted({i for p in pairs for i in p})
+    keep_ids = [i for i in range(n) if i not in set(overlap_ids)]
+    # boundary → line_merge → polygonize → difference vs non-overlapping
+    seg_src = [blocks[i] for i in overlap_ids]
+    noded = node_segments(geoms_to_segments(seg_src))
+    pieces = [("Polygon", rings) for rings in extract_faces(noded)]
+    keep_blocks = [blocks[i] for i in keep_ids]
+    corrected = _overlay_op(pieces, keep_blocks, "difference")
+    merged = _dissolve([_wkb.dumps(p) for p in corrected])
+    return keep_blocks + _validate(merged)
+
+
+def _geohash_blocks(blocks: list, region: str, precision: int = 12) -> pd.DataFrame:
+    """blocker.py:296-322 with the deterministic tie order (W1 note)."""
+    if not blocks:
+        return pd.DataFrame(
+            columns=["region_code", "block_id", "geometry", "area_m2", "rep_lon", "rep_lat"]
+        )
+    reps = np.array([representative_point(b[1]) for b in blocks])
+    ghs = geohash_encode(reps[:, 1], reps[:, 0], precision)
+    wkbs = [_wkb.dumps(normalize_geom(b)) for b in blocks]
+    areas = [geom_area_m2(b) for b in blocks]
+    df = pd.DataFrame(
+        {
+            "region_code": region,
+            "geohash": ghs,
+            "geometry": wkbs,
+            "area_m2": areas,
+            "rep_lon": reps[:, 0],
+            "rep_lat": reps[:, 1],
+        }
+    )
+    df = df.sort_values(
+        by=["geohash", "geometry"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    df["georank"] = df.groupby("geohash").cumcount()
+    df["block_id"] = (
+        df["region_code"] + "_" + df["geohash"] + "_" + df["georank"].astype(str)
+    )
+    return df[["region_code", "block_id", "geometry", "area_m2", "rep_lon", "rep_lat"]]
+
+
+def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+    if len(land_pdf) == 0:
+        return pd.DataFrame(columns=BLOCKS_SCHEMA.fieldNames())
+    region = land_pdf["region_code"].iloc[0]
+    land_parts = []
+    for buf in land_pdf["geometry"]:
+        for p in _wkb.get_parts(_wkb.loads(bytes(buf))):
+            if p[0] == "Polygon":
+                land_parts.append(p)
+    line_geoms = [_wkb.loads(bytes(b)) for b in lines_pdf["geometry"]] if len(lines_pdf) else []
+
+    blocks = _make_blocks(land_parts, line_geoms)
+    blocks = _validate(blocks)
+
+    # _add_back_water_features (blocker.py:202-231)
+    land_area = sum(geom_area_m2(p) for p in land_parts)
+    blocks_area = sum(geom_area_m2(b) for b in blocks)
+    if blocks_area - land_area > 0:
+        clipped = []
+        for b in blocks:
+            clipped.extend(_overlay_op([b], land_parts, "intersection"))
+        blocks = _validate(clipped)
+
+    blocks = _remove_overlaps(blocks, region)
+
+    # _residual_area_check (blocker.py:166-200)
+    blocks_area = sum(geom_area_m2(b) for b in blocks)
+    if land_area - blocks_area > 0:
+        union_blocks = _dissolve([_wkb.dumps(b) for b in blocks])
+        residue = _overlay_op(land_parts, union_blocks, "difference")
+        residue = [p for p in residue if geom_area_m2(p) > 0]
+        blocks = blocks + _validate(residue)
+
+    return _geohash_blocks(blocks, region)
+
+
+def build_blocks(land: DataFrame, lines: DataFrame) -> DataFrame:
+    """land parts + extracted linestrings → blocks (one kernel per region)."""
+    return (
+        land.select("region_code", "geometry")
+        .groupBy("region_code")
+        .cogroup(lines.select("region_code", "geometry").groupBy("region_code"))
+        .applyInPandas(_block_cogroup, BLOCKS_SCHEMA)
+    )

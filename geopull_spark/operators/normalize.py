@@ -1,0 +1,143 @@
+"""Normalize stage: admin polygons → per-region land parts.
+
+Distributed translation of ``GeopullNormalizer``
+(``/root/reference/src/geopull/normalizer.py:48-158``):
+
+1. keep numeric admin levels (P3 filter, normalizer.py:83) — Catalyst rlike;
+2. metric area per polygon — Arrow-batched pandas UDF (F5);
+3. per-(region, level) area sums — built-in hash aggregate (A1);
+4. level choice per region: keep 4 iff present and Σarea₄ ≥ Σarea₂
+   (normalizer.py:87-95) — tiny DF, broadcast-joined back;
+5. dissolve per region (A2) — ``applyInPandas`` union kernel;
+6. coastline difference when the kept level is 2 (normalizer.py:99-129);
+7. water dissolve + difference (normalizer.py:131-158);
+8. explode to Polygon parts (blocker input, blocker.py:55-56).
+
+Region is the natural partition key (the reference's per-country loop,
+orchestrator.py:87-91); every geometric group kernel is keyed by it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.geometry import st_area_m2
+from ..kernels import overlay as _overlay
+from ..kernels import wkb as _wkb
+
+LAND_SCHEMA = T.StructType(
+    [
+        T.StructField("region_code", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("geometry", T.BinaryType()),
+    ]
+)
+
+
+def numeric_admin(admin: DataFrame) -> DataFrame:
+    """P3+P4: numeric admin_level only, cast to int (normalizer.py:83-84)."""
+    return admin.filter(F.col("admin_level").rlike("^[0-9]+$")).withColumn(
+        "admin_level", F.col("admin_level").cast("int")
+    )
+
+
+def choose_levels(admin_num: DataFrame) -> DataFrame:
+    """Per-region kept admin level (normalizer.py:86-95). Returns
+    (region_code, keep_level) — a tiny dimension DF for a broadcast join."""
+    sums = (
+        admin_num.withColumn("area_m2", st_area_m2("geometry"))
+        .groupBy("region_code", "admin_level")
+        .agg(F.sum("area_m2").alias("level_area"))
+    )
+    pivoted = (
+        sums.groupBy("region_code")
+        .agg(
+            F.max(F.when(F.col("admin_level") == 4, F.col("level_area"))).alias("a4"),
+            F.max(F.when(F.col("admin_level") == 2, F.col("level_area"))).alias("a2"),
+        )
+        .withColumn(
+            "keep_level",
+            F.when(
+                F.col("a4").isNotNull() & (F.col("a4") >= F.coalesce(F.col("a2"), F.lit(0.0))),
+                F.lit(4),
+            ).otherwise(F.lit(2)),
+        )
+        .select("region_code", "keep_level")
+    )
+    return pivoted
+
+
+def _dissolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    region = pdf["region_code"].iloc[0]
+    parts = _overlay.dissolve([bytes(b) for b in pdf["geometry"]])
+    rows = [(region, i, _wkb.dumps(p)) for i, p in enumerate(parts)]
+    return pd.DataFrame(rows, columns=["region_code", "part_id", "geometry"])
+
+
+def dissolve_by_region(df: DataFrame) -> DataFrame:
+    """A2 grouped geometric union via applyInPandas."""
+    return df.select("region_code", "geometry").groupBy("region_code").applyInPandas(
+        _dissolve_group, LAND_SCHEMA
+    )
+
+
+def _difference_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-region overlay difference: land parts minus (dissolved) right side.
+
+    Rows with no right-side match pass through unchanged (cheap path — the
+    cell-join formulation of J3; here the group is the region)."""
+    if len(left) == 0:
+        return pd.DataFrame(columns=["region_code", "part_id", "geometry"])
+    region = left["region_code"].iloc[0]
+    if len(right) == 0:
+        out = left[["region_code", "part_id", "geometry"]].copy()
+        return out
+    a = [_wkb.loads(bytes(b)) for b in left["geometry"]]
+    b = [_wkb.loads(bytes(x)) for x in right["geometry"]]
+    parts = _overlay.overlay(a, b, "difference")
+    # make_valid after overlay (normalizer.py:128, :157)
+    valid = []
+    for p in parts:
+        valid.extend(_overlay.make_valid(p))
+    rows = [(region, i, _wkb.dumps(p)) for i, p in enumerate(valid)]
+    return pd.DataFrame(rows, columns=["region_code", "part_id", "geometry"])
+
+
+def subtract_by_region(land: DataFrame, other: DataFrame) -> DataFrame:
+    """J3 overlay difference, grouped by region via cogrouped applyInPandas."""
+    return (
+        land.select("region_code", "part_id", "geometry")
+        .groupBy("region_code")
+        .cogroup(other.select("region_code", "geometry").groupBy("region_code"))
+        .applyInPandas(_difference_cogroup, LAND_SCHEMA)
+    )
+
+
+def normalize_land(
+    admin: DataFrame, water: DataFrame, coastline: DataFrame | None = None
+) -> DataFrame:
+    """Full normalize: admin+water(+coastline) → exploded land parts."""
+    admin_num = numeric_admin(admin)
+    keep = choose_levels(admin_num)
+    kept = admin_num.join(F.broadcast(keep), "region_code").filter(
+        F.col("admin_level") == F.col("keep_level")
+    )
+    land = dissolve_by_region(kept)
+    if coastline is not None:
+        # only regions whose kept level is 2 get the coastline difference
+        # (normalizer.py:59-60); others pass through untouched
+        lvl2 = keep.filter(F.col("keep_level") == 2).select("region_code")
+        land2 = land.join(F.broadcast(lvl2), "region_code", "inner")
+        land_other = land.join(F.broadcast(lvl2), "region_code", "left_anti")
+        land2 = subtract_by_region(land2, coastline)
+        land = land_other.unionByName(land2)
+    land = subtract_by_region(land, water)
+    # explode to Polygon parts (blocker.py:55-56) — dissolve/difference
+    # kernels already emit single polygons per row, so this is a re-number
+    return land.withColumn(
+        "part_id",
+        F.row_number().over(Window.partitionBy("region_code").orderBy("part_id")) - 1,
+    )

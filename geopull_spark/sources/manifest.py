@@ -1,0 +1,100 @@
+"""Iceberg-style snapshot manifest layer (emulated).
+
+No Iceberg runtime ships in this sandbox, so table semantics are emulated
+with parquet data dirs + JSON snapshot manifests and an atomic current-pointer
+swap. The interface is kept Iceberg-shaped (snapshot id, parent id, schema,
+per-partition row counts, lineage of input fingerprints) so a real catalog
+can be swapped in.
+
+This is also the engine's resume mechanism — the distributed analog of the
+reference's skip-if-exists caching (``/root/reference/src/geopull/geofile.py:
+106-110``, ``:404-406``): a stage whose output snapshot carries the same
+input fingerprint is skipped on rerun (north_rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, "_manifest")
+
+    # -- manifest bookkeeping -------------------------------------------------
+    def _current_path(self) -> str:
+        return os.path.join(self.manifest_dir, "current")
+
+    def current_snapshot(self) -> dict | None:
+        try:
+            with open(self._current_path()) as f:
+                sid = f.read().strip()
+            with open(os.path.join(self.manifest_dir, f"v{sid}.json")) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def is_current(self, fingerprint: str) -> bool:
+        snap = self.current_snapshot()
+        return snap is not None and snap.get("fingerprint") == fingerprint
+
+    # -- commit / read ---------------------------------------------------------
+    def commit(
+        self,
+        df: DataFrame,
+        fingerprint: str,
+        partition_count_col: str | None = None,
+        lineage: list[str] | None = None,
+    ) -> dict:
+        """Write df as a new snapshot unless the current one already carries
+        ``fingerprint`` (idempotent resume). Returns the snapshot manifest."""
+        if self.is_current(fingerprint):
+            return self.current_snapshot()
+        prev = self.current_snapshot()
+        sid = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, f"snap-{sid}")
+        df.write.mode("overwrite").parquet(data_dir)
+        spark = df.sparkSession
+        written = spark.read.parquet(data_dir)
+        if partition_count_col and partition_count_col in written.columns:
+            counts = {
+                str(r[0]): r[1]
+                for r in written.groupBy(partition_count_col).agg(F.count("*")).collect()
+            }
+            row_count = sum(counts.values())
+        else:
+            counts = {}
+            row_count = written.count()
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": prev["snapshot_id"] if prev else None,
+            "fingerprint": fingerprint,
+            "created_unix": int(time.time()),
+            "data_dir": data_dir,
+            "row_count": row_count,
+            "partition_counts": counts,
+            "schema": written.schema.jsonValue(),
+            "lineage": lineage or [],
+        }
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        with open(os.path.join(self.manifest_dir, f"v{sid}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = self._current_path() + f".tmp-{sid}"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.replace(tmp, self._current_path())  # atomic pointer swap
+        return manifest
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        return spark.read.parquet(snap["data_dir"])

@@ -1,0 +1,190 @@
+"""Pipeline invariant tests — mirrors the reference's behavioral tests
+(/root/reference/tests/test_blocker.py:128-229, test_normalizer.py:71-99)
+plus the target engine's span-sequence and determinism requirements.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geopull_spark.functions.geometry import st_area_m2
+from geopull_spark.kernels import area as karea
+from geopull_spark.kernels import wkb as kwkb
+from geopull_spark.operators import blocker, extract, normalize, spatial_join
+from geopull_spark.session import get_spark
+from geopull_spark.sources import synth
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    ways = synth.gen_osm_ways(spark, streets_per_region=25).cache()
+    admin = extract.extract_admin(ways)
+    water = extract.extract_water(ways)
+    lines = extract.extract_linestrings(ways).cache()
+    land = normalize.normalize_land(admin, water, synth.gen_coastline(spark)).cache()
+    blocks = blocker.build_blocks(land, lines).cache()
+    return {"ways": ways, "lines": lines, "land": land, "blocks": blocks}
+
+
+def test_extract_filters(spark):
+    """P7 include/exclude predicates match the reference sets exactly."""
+    ways = synth.gen_osm_ways(spark, streets_per_region=25)
+    lines = extract.extract_linestrings(ways)
+    rows = lines.select("way_id").collect()
+    tags = {r["way_id"]: r["tags"] for r in ways.collect()}
+    kept = {r["way_id"] for r in rows}
+    for wid, t in tags.items():
+        if t.get("highway") in ("footway", "path", "steps", "cycleway"):
+            assert wid not in kept, f"excluded highway kept: {t}"
+        if t.get("natural") == "coastline":
+            assert wid not in kept
+        if t.get("boundary") == "administrative":
+            assert wid not in kept
+        if t.get("railway"):
+            assert wid in kept
+
+
+def test_admin_level_choice(spark, world):
+    """normalizer.py:86-95: AAA/BBB keep level 4; CCC (no level 4) keeps 2."""
+    ways = world["ways"]
+    admin = extract.extract_admin(ways)
+    keep = {r["region_code"]: r["keep_level"] for r in
+            normalize.choose_levels(normalize.numeric_admin(admin)).collect()}
+    assert keep == {"AAA": 4, "BBB": 4, "CCC": 2}
+
+
+def test_land_excludes_water_and_sea(world):
+    """After normalize, land area < admin area (water removed) and CCC's
+    maritime overhang is clipped by the coastline difference."""
+    land = world["land"]
+    areas = {
+        r["region_code"]: r["a"]
+        for r in land.withColumn("a", st_area_m2("geometry"))
+        .groupBy("region_code").agg(F.sum("a").alias("a")).collect()
+    }
+    full_square = karea.wkb_area_m2(kwkb.polygon([(0, 0), (1, 0), (1, 1), (0, 1)]))
+    for r, a in areas.items():
+        assert a < full_square, r  # lakes + river removed
+        assert a > 0.8 * full_square, r  # but most land remains
+
+
+def test_blocks_nonoverlapping_and_conserve_area(world):
+    """tests/test_blocker.py:128-177 invariants: pairwise disjoint interiors,
+    Σ block area == land area."""
+    blocks = world["blocks"]
+    land = world["land"]
+    land_area = land.withColumn("a", st_area_m2("geometry")).agg(F.sum("a")).head()[0]
+    blocks_area = blocks.agg(F.sum("area_m2")).head()[0]
+    assert blocks_area == pytest.approx(land_area, rel=1e-9)
+
+    # overlap check: pairwise intersection area must be 0 (per region)
+    from geopull_spark.kernels.overlay import overlay as koverlay
+
+    rows = blocks.select("region_code", "geometry").collect()
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r["region_code"], []).append(kwkb.loads(bytes(r["geometry"])))
+    for region, polys in by_region.items():
+        boxes = np.array([kwkb.bounds(p) for p in polys])
+        n = len(polys)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (
+                    boxes[i, 0] < boxes[j, 2] and boxes[i, 2] > boxes[j, 0]
+                    and boxes[i, 1] < boxes[j, 3] and boxes[i, 3] > boxes[j, 1]
+                ):
+                    inter = koverlay([polys[i]], [polys[j]], "intersection")
+                    a = sum(karea.geom_area_m2(p) for p in inter)
+                    assert a < 1e-6, f"{region} blocks {i},{j} overlap by {a} m²"
+
+
+def test_block_ids_unique_and_formatted(world):
+    """tests/test_blocker.py:226-229: block_id unique, non-constant, format
+    {code}_{geohash12}_{rank}."""
+    blocks = world["blocks"]
+    n = blocks.count()
+    assert n > 3
+    assert blocks.select("block_id").distinct().count() == n
+    bad = blocks.filter(~F.col("block_id").rlike("^[A-Z]{3}_[0-9b-hj-km-np-z]{12}_[0-9]+$"))
+    assert bad.count() == 0
+
+
+def test_blocks_deterministic(spark, world):
+    """north_star: join output rows bit-identical across runs/partitionings."""
+    ways = synth.gen_osm_ways(spark, streets_per_region=25)
+    lines = extract.extract_linestrings(ways)
+    admin = extract.extract_admin(ways)
+    water = extract.extract_water(ways)
+    land2 = normalize.normalize_land(admin, water, synth.gen_coastline(spark)).repartition(7)
+    blocks2 = blocker.build_blocks(land2, lines.repartition(5))
+    a = sorted(
+        (r["block_id"], bytes(r["geometry"]).hex())
+        for r in world["blocks"].select("block_id", "geometry").collect()
+    )
+    b = sorted(
+        (r["block_id"], bytes(r["geometry"]).hex())
+        for r in blocks2.select("block_id", "geometry").collect()
+    )
+    assert a == b
+
+
+def test_doc_assignment_and_span_invariant(spark, world):
+    """J7 assignment + the per-row span-sequence invariant (kind, text,
+    media_ref, order) preserved through the shuffle-join."""
+    docs = synth.interleaved_documents(spark, SF).cache()
+    bc = spatial_join.build_block_cell_index(world["blocks"])
+    out = spatial_join.assign_docs_full(docs, bc).cache()
+    assert out.count() == docs.count()  # left join keeps every doc
+    assigned = out.filter(F.col("block_id").isNotNull())
+    assert assigned.count() > 0.8 * docs.count()  # most docs are on land
+
+    # span invariant: spans array identical before/after the join+shuffle
+    before = {r["doc_id"]: r["spans"] for r in docs.select("doc_id", "spans").collect()}
+    after = {r["doc_id"]: r["spans"] for r in out.select("doc_id", "spans").collect()}
+    assert before == after
+
+    # offsets strictly increasing per doc (order component of the invariant)
+    viol = out.filter(
+        F.exists(
+            F.expr("transform(spans, (s, i) -> i > 0 AND s.offset <= spans[i-1].offset)"),
+            lambda x: x,
+        )
+    )
+    assert viol.count() == 0
+
+
+def test_doc_assignment_pip_exact(spark, world):
+    """Every assigned doc point is actually inside its block polygon."""
+    docs = synth.interleaved_documents(spark, SF)
+    bc = spatial_join.build_block_cell_index(world["blocks"])
+    out = spatial_join.assign_docs_to_blocks(docs.select("doc_id", "lon", "lat"), bc)
+    geom = {r["block_id"]: bytes(r["geometry"]) for r in world["blocks"].collect()}
+    from geopull_spark.kernels.pointops import point_in_geom
+
+    for r in out.collect():
+        g = kwkb.loads(geom[r["block_id"]])
+        assert point_in_geom(np.array([r["lon"]]), np.array([r["lat"]]), g)[0], r
+
+
+def test_manifest_resume(spark, tmp_path):
+    """S8 analog: second commit with same fingerprint is a no-op snapshot."""
+    from geopull_spark.sources.manifest import SnapshotTable
+
+    df = spark.range(10).withColumn("region_code", F.lit("AAA"))
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    m1 = t.commit(df, "fp1", partition_count_col="region_code")
+    m2 = t.commit(df, "fp1")
+    assert m1["snapshot_id"] == m2["snapshot_id"]
+    assert m1["row_count"] == 10
+    assert m1["partition_counts"] == {"AAA": 10}
+    m3 = t.commit(spark.range(5).withColumn("region_code", F.lit("BBB")), "fp2")
+    assert m3["parent_id"] == m1["snapshot_id"]
+    assert t.read(spark).count() == 5
