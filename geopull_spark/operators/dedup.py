@@ -1,0 +1,165 @@
+"""Deduplication operators over the documents table.
+
+Large-scale training-pipeline dedup, all JVM-side Catalyst expressions (no
+Python in the hot path):
+
+  exact_dedup        — content-hash groupBy (md5), keep min doc_id
+  minhash_lsh_pairs  — char-shingles → per-band min-hash → band-bucket
+                       self-join → candidate pairs (classic MinHash+LSH)
+  simhash64          — 64-bit SimHash from token hashes via bit-vote
+  simhash_neardup    — banded SimHash join + hamming ≤ k refine
+  ngram_jaccard_pairs— exact n-gram Jaccard via shingle-explode equi-join
+                       (SQL-expressible → DuckDB-oracle-checkable)
+
+Scale notes: every self-join is an equi-join on a bucket/shingle key
+(shuffle-hash; AQE skew handles hot shingles); `distinct` before the join
+caps per-doc fanout. At 10^12 docs the band join is the standard
+LSH-partitioned shuffle; no driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min(id_col).alias("keep_doc_id")
+    )
+
+
+def _shingles(text_col: str, width: int = 8, stride: int = 4):
+    """Character shingles as xxhash64 values (native transform/sequence)."""
+    return F.expr(
+        f"transform(sequence(0, greatest(int((length({text_col}) - {width}) / {stride}), 0)),"
+        f" i -> xxhash64(substr({text_col}, i * {stride} + 1, {width})))"
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-band MinHash via the linear-time rolling-hash kernel (pandas UDF).
+
+    The native-SQL shingle variant (``_shingles``) is O(n²) in text length
+    because ``substr`` re-scans the UTF8 string per gram — kept only for the
+    short-text oracle queries."""
+    from ..kernels.texthash import minhash_bands
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def mh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+            else:
+                out.append(minhash_bands(t.encode("utf-8"), 8, n_bands))
+        return pd.Series(out, dtype=object)
+
+    sig = docs.select(id_col, mh(F.col(text_col)).alias("bands"))
+    return sig.select(
+        id_col, *[F.col("bands")[b].alias(f"band{b}") for b in range(n_bands)]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ≥1 min-hash band."""
+    mh = minhash_signature(docs, text_col, n_bands, id_col)
+    stacked = mh.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("mh"))
+            for b in range(n_bands)
+        ])).alias("s"),
+    ).select(id_col, F.col("s.band").alias("band"), F.col("s.mh").alias("mh"))
+    a = stacked.select(F.col(id_col).alias("doc_a"), "band", "mh")
+    b = stacked.select(F.col(id_col).alias("doc_b"), "band", "mh")
+    return (
+        a.join(b, ["band", "mh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over whitespace-token hashes."""
+    toks = docs.select(
+        id_col, F.expr(f"transform(split({text_col}, ' +'), t -> xxhash64(t))").alias("th")
+    )
+    # bit b of simhash = 1 iff sum over tokens of (bit set ? +1 : -1) > 0
+    return toks.select(
+        id_col,
+        F.expr(
+            "aggregate(transform(sequence(0, 63), b -> "
+            " CASE WHEN aggregate(th, 0L, (acc, h) ->"
+            "   acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+            " THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc | x)"
+        ).alias("simhash"),
+    )
+
+
+def simhash_neardup(docs: DataFrame, max_hamming: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: band on 16-bit chunks (pigeonhole: hamming
+    ≤ 3 guarantees a shared chunk of 4; ≤ max_hamming is refined exactly via
+    bit_count), then exact hamming filter."""
+    sh = simhash64(docs, text_col, id_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     (F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))).alias("ck"))
+            for c in range(4)
+        ])).alias("s"),
+    ).select(id_col, "simhash", F.col("s.chunk").alias("chunk"), F.col("s.ck").alias("ck"))
+    a = chunks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "ck")
+    b = chunks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "ck")
+    pairs = (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact character-n-gram Jaccard similarity for candidate pairs sharing
+    ≥1 shingle. Pure string ops → DuckDB-oracle checkable."""
+    grams = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, greatest(length({text_col}) - {n}, 0)),"
+                f" i -> substr({text_col}, i + 1, {n})))"
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = grams.select(F.col("doc").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -14,10 +14,15 @@ north_star requirement).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.geometry import st_cell, st_contains_point, st_cover_cells, st_k_ring
+from ..kernels import cells as _cells
 
 INDEX_RES = 14  # ~0.022° tiles: ~45×45 per 1° region
 
@@ -76,6 +81,42 @@ def assign_docs_full(docs: DataFrame, block_cells: DataFrame, **kw) -> DataFrame
     the shuffle opaquely (span-sequence invariant checked in tests)."""
     assigned = assign_docs_to_blocks(docs.select("doc_id", "lon", "lat"), block_cells, **kw)
     return docs.join(assigned.select("doc_id", "block_id"), "doc_id", "left")
+
+
+def zonal_population(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
+    """J9 zonal raster→vector join: a synthetic population raster keyed by
+    cell (value = deterministic f(cell)) aggregated per block.
+
+    Plan: block→cover-cells explode (the raster tiling join key) → cell-center
+    PIP refine (center-in-polygon zonal approximation) → hash-agg sum per
+    block. With a real raster the f(cell) literal becomes a raster-tile table
+    on the same cell key — same plan shape."""
+    @pandas_udf(T.StructType([
+        T.StructField("cx", T.DoubleType()), T.StructField("cy", T.DoubleType())
+    ]))
+    def cell_center(cell: pd.Series) -> pd.DataFrame:
+        ix, iy, r = _cells.cell_xy(cell.to_numpy(np.int64))
+        n = (1 << r).astype(np.float64)
+        return pd.DataFrame({
+            "cx": -180.0 + (ix + 0.5) * (360.0 / n),
+            "cy": -90.0 + (iy + 0.5) * (180.0 / n),
+        })
+
+    bc = build_block_cell_index(blocks, res)
+    bc = bc.withColumn("c", cell_center(F.col("cell")))
+    inside = bc.filter(
+        st_contains_point(F.col("geometry"), F.col("c.cx"), F.col("c.cy"))
+    )
+    # deterministic synthetic raster: population per cell
+    pop = (F.pmod(F.xxhash64(F.col("cell")), F.lit(1000)) + 1).alias("cell_pop")
+    return (
+        inside.withColumn("cell_pop", pop)
+        .groupBy("region_code", "block_id")
+        .agg(
+            F.sum("cell_pop").alias("population"),
+            F.count("*").alias("n_cells"),
+        )
+    )
 
 
 def knn_blocks(blocks: DataFrame, k: int = 4, res: int = 12) -> DataFrame:

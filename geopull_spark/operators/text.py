@@ -1,0 +1,116 @@
+"""Text-analysis operators over the documents table.
+
+Training-pipeline scoring — all native Catalyst expressions:
+
+  text_quality    — length / punctuation / stopword / uppercase ratios
+  lang_id         — stopword-hit heuristic over a small language table
+  token_count     — whitespace tokens + BPE-ish regex token estimate
+  doc_fingerprint — winnowing-style fingerprint (min k-gram hash per window)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "en", "los", "del", "las", "por", "una"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "que", "une", "pour", "qui"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"],
+}
+
+
+def _count_token(text_col, word: str):
+    """Occurrences of ' word ' via length arithmetic (exact, engine-neutral)."""
+    needle = f" {word} "
+    return (
+        F.length(text_col) - F.length(F.replace(text_col, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    n = F.length(t)
+    n_spaces = n - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n_punct = (
+        (n - F.length(F.replace(t, F.lit("."), F.lit(""))))
+        + (n - F.length(F.replace(t, F.lit(","), F.lit(""))))
+        + (n - F.length(F.replace(t, F.lit("!"), F.lit(""))))
+    )
+    n_upper = n - F.length(F.replace(F.translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""), F.lit(""), F.lit("")))
+    n_tokens = n_spaces + 1
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_token_len"),
+        F.round(n_punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(
+            _count_token(t, "the") / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-hit counts. Deterministic
+    tie-break by language code order."""
+    t = F.lower(F.col(text_col))
+    scores = [
+        F.struct(
+            sum((_count_token(t, w) for w in words), F.lit(0.0)).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(_STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        F.round(best["score"], 2).alias("lang_score"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish estimate: words + digits + punctuation
+    runs counted via regex split (JVM regex, no UDF)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe_ish = F.size(F.split(t, r"(?<=\W)|(?=\W)")) - F.lit(1)
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe_ish.alias("bpe_ish_tokens"),
+        F.ceil(F.length(t) / 4).alias("chars_div4"),  # classic LLM estimate
+    )
+
+
+def doc_fingerprint(docs: DataFrame, k: int = 8, window: int = 4,
+                    text_col: str = "text") -> DataFrame:
+    """Winnowing-style fingerprint: min k-gram rolling hash per window,
+    distinct-set digest. Uses the linear-time numpy rolling-hash kernel via
+    an Arrow-batched pandas UDF — Spark's native ``substr(text, i, k)``
+    re-scans the UTF8 string per gram, which is O(n²) in document length."""
+    from ..kernels.texthash import winnow_fingerprint
+
+    @pandas_udf(T.StructType([
+        T.StructField("fingerprint", T.LongType()),
+        T.StructField("n_fingerprint_grams", T.IntegerType()),
+    ]))
+    def fp(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None, None))
+            else:
+                rows.append(winnow_fingerprint(t.encode("utf-8"), k, window))
+        return pd.DataFrame(rows, columns=["fingerprint", "n_fingerprint_grams"])
+
+    return docs.select(
+        "doc_id",
+        fp(F.col(text_col)).alias("f"),
+    ).select("doc_id", F.col("f.fingerprint").alias("fingerprint"),
+             F.col("f.n_fingerprint_grams").alias("n_fingerprint_grams"))

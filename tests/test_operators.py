@@ -1,0 +1,163 @@
+"""Tests for the training-data operators: dedup, text, similarity, multimodal,
+zonal. Recall/behavior checks against brute-force ground truth on the driver
+testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopull_spark.operators import dedup, multimodal, similarity, spatial_join, text
+from geopull_spark.session import get_spark
+from geopull_spark.sources import synth
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark(app_name="op_tests", master="local[4]", shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = dedup.exact_dedup(docs)
+    total = out.agg(F.sum("n_copies")).head()[0]
+    assert total == docs.count()
+    # duplicated texts collapse: groups ≤ docs
+    assert out.count() <= docs.count()
+
+
+def test_minhash_catches_exact_dups(spark, docs):
+    """Any two docs with identical text must be minhash candidates."""
+    dup_pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    n_dups = dup_pairs.count()
+    if n_dups == 0:
+        pytest.skip("no exact dups in fixture")
+    found = dedup.minhash_lsh_pairs(docs)
+    missing = dup_pairs.join(found, ["doc_a", "doc_b"], "left_anti").count()
+    assert missing == 0
+
+
+def test_simhash_identical_distance_zero(spark):
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "a completely different sentence here")],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(d).collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[3]
+    pairs = dedup.simhash_neardup(d, max_hamming=0)
+    rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert (1, 2) in rows
+
+
+def test_ngram_jaccard_symmetric_range(spark):
+    d = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(d, n=3, threshold=0.0).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) not in out  # no shared grams
+
+
+def test_lang_id_obvious_cases(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "this is the house and the dog of the man in the street"),
+            (2, "el perro de la casa en los campos de la tierra por una parte"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(d).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_text_quality_columns(spark, docs):
+    out = text.text_quality(docs)
+    row = out.filter(F.col("n_chars") > 0).head()
+    assert row["n_tokens"] >= 1
+    assert 0 <= row["punct_ratio"] <= 1
+
+
+def test_lsh_recall_vs_brute(spark):
+    """LSH top-k must recover most of the exact top-k (recall ≥ 0.6 on the
+    tiny fixture with 16 planes / 4 bands)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    dim = len(e.head()["embedding"])
+    qv = e.filter(F.col("vec_id") == 0).head()["embedding"]
+    brute = set(
+        r["vec_id"]
+        for r in similarity.brute_cosine_topk(
+            e.filter(F.col("vec_id") != 0), list(qv), k=10
+        ).collect()
+    )
+    queries_df = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # random gaussian embeddings have weak neighbor contrast — use the
+    # high-recall band config (more bands = more probes = higher recall)
+    lsh = set(
+        r["vec_id"]
+        for r in similarity.lsh_cosine_topk(
+            e.filter(F.col("vec_id") != 0), queries_df, dim=dim, k=10, n_bands=8
+        ).collect()
+    )
+    assert len(brute & lsh) / len(brute) >= 0.6
+
+
+def test_multimodal_plumbing(spark):
+    docs = synth.interleaved_documents(spark, SF)
+    media = multimodal.materialize_media(docs).cache()
+    n_media_spans = docs.select(
+        F.explode("spans").alias("s")
+    ).filter(F.col("s.media_ref").isNotNull()).count()
+    assert media.count() == n_media_spans
+    meta = multimodal.decode_media(media, fake=True)
+    m = meta.head()
+    assert m["n_bytes"] >= 64
+    feats = multimodal.extract_features(media, dim=8)
+    f = feats.head()
+    assert len(f["features"]) == 8
+    # deterministic across runs
+    f2 = {r["media_ref"]: r["features"] for r in multimodal.extract_features(media, dim=8).collect()}
+    f1 = {r["media_ref"]: r["features"] for r in feats.collect()}
+    assert f1 == f2
+
+
+def test_decode_media_stub_raises(spark):
+    docs = synth.interleaved_documents(spark, SF)
+    media = multimodal.materialize_media(docs)
+    with pytest.raises(Exception):  # NotImplementedError inside the kernel
+        multimodal.decode_media(media.limit(1), fake=False).collect()
+
+
+def test_zonal_population_positive(spark):
+    from geopull_spark.operators import blocker, extract, normalize
+
+    ways = synth.gen_osm_ways(spark, streets_per_region=25)
+    land = normalize.normalize_land(
+        extract.extract_admin(ways), extract.extract_water(ways), synth.gen_coastline(spark)
+    )
+    blocks = blocker.build_blocks(land, extract.extract_linestrings(ways)).cache()
+    z = spatial_join.zonal_population(blocks, res=15).cache()
+    assert z.count() > 0
+    assert z.filter(F.col("population") <= 0).count() == 0
+    # deterministic
+    z2 = spatial_join.zonal_population(blocks, res=15)
+    assert sorted(map(tuple, z.collect())) == sorted(map(tuple, z2.collect()))
