@@ -27,8 +27,9 @@ sys.path.insert(0, REPO)
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    streets = int(os.environ.get("BENCH_STREETS_PER_REGION", "1500"))
+    streets = int(os.environ.get("BENCH_STREETS_PER_REGION", "400"))
     doc_factor = int(os.environ.get("BENCH_DOC_FACTOR", "40"))
+    n_regions = int(os.environ.get("BENCH_REGIONS", "24"))
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
     from pyspark.sql import functions as F
@@ -37,19 +38,30 @@ def main() -> None:
     from geopull_spark.operators import blocker, extract, normalize, spatial_join
     from geopull_spark.sources import synth
 
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # 4× shuffle partitions: geometry group-kernels (one task per region)
+    # suffer balls-in-bins collisions at partitions == groups; AQE coalesces
+    # the small relational shuffles back down
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 4)
+
+    # warm the Python worker pool (one per task slot) so one-time spawn cost
+    # (~5s) doesn't land inside the first timed stage
+    spark.range(0, cpus * 10, 1, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
 
     # -- blocks_build -----------------------------------------------------
     t0 = time.time()
-    ways = synth.gen_osm_ways(spark, streets_per_region=streets).persist()
+    ways = synth.gen_osm_ways(spark, streets_per_region=streets, n_regions=n_regions).persist()
     ways.count()
     admin = extract.extract_admin(ways)
     water = extract.extract_water(ways)
     lines = extract.extract_linestrings(ways)
-    land = normalize.normalize_land(admin, water, synth.gen_coastline(spark)).persist()
+    land = normalize.normalize_land(
+        admin, water, synth.gen_coastline(spark, n_regions=n_regions)
+    ).persist()
     blocks = blocker.build_blocks(land, lines).persist()
     n_blocks = blocks.count()
     times["blocks_build"] = time.time() - t0
@@ -57,20 +69,22 @@ def main() -> None:
     extras["blocks_per_sec"] = n_blocks / times["blocks_build"]
 
     # -- doc_assign --------------------------------------------------------
-    docs = synth.interleaved_documents(spark, sf_dir)
+    docs = synth.interleaved_documents(spark, sf_dir, n_regions=n_regions)
     if doc_factor > 1:
-        # deterministic expansion: doc_factor jittered copies of each point
+        # deterministic expansion: doc_factor jittered copies of each point;
+        # regions sit on a 2°-pitch grid so floor-to-even recovers the corner
         docs = docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(doc_factor - 1))))
         docs = (
             docs.withColumn("doc_id", F.concat_ws("_", "doc_id", "rep"))
             .withColumn(
-                "lon",  # jitter within the doc's region (regions start at even lon)
+                "lon",
                 (F.col("lon") - F.col("lon") % 2)
                 + ((F.xxhash64("doc_id") % 100000 + 100000) % 100000) / 100000.0,
             )
             .withColumn(
                 "lat",
-                ((F.xxhash64("doc_id", F.lit(1)) % 100000 + 100000) % 100000) / 100000.0,
+                (F.col("lat") - F.col("lat") % 2)
+                + ((F.xxhash64("doc_id", F.lit(1)) % 100000 + 100000) % 100000) / 100000.0,
             )
             .drop("rep")
         )
@@ -85,6 +99,12 @@ def main() -> None:
     extras["n_docs"] = n_docs
     extras["n_assigned"] = n_assigned
     extras["docs_per_sec"] = n_docs / times["doc_assign"]
+
+    # release pipeline state before the relational queries (GC pressure from
+    # persisted WKB frames skews the later timings otherwise)
+    assigned.count()
+    for df in (ways, land, blocks, bc, docs):
+        df.unpersist()
 
     # -- relational + training-data headliners -----------------------------
     import importlib.util

@@ -116,6 +116,52 @@ def subtract_by_region(land: DataFrame, other: DataFrame) -> DataFrame:
     )
 
 
+def _normalize_cogroup(admin_pdf: pd.DataFrame, other_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fused per-region normalize kernel: dissolve kept-level admin →
+    coastline difference when kept level is 2 (normalizer.py:59-60, 99-129)
+    → water difference (normalizer.py:131-158). One Python stage per region
+    instead of three — at small per-region payloads the Python-worker
+    round-trips dominate, not the geometry."""
+    if len(admin_pdf) == 0:
+        return pd.DataFrame(columns=["region_code", "part_id", "geometry"])
+    region = admin_pdf["region_code"].iloc[0]
+    keep_level = int(admin_pdf["keep_level"].iloc[0])
+    land = _overlay.dissolve([bytes(b) for b in admin_pdf["geometry"]])
+    if len(other_pdf):
+        if keep_level == 2:
+            coast = [
+                _wkb.loads(bytes(b))
+                for b in other_pdf.loc[other_pdf["role"] == "coast", "o_geometry"]
+            ]
+            # sjoin-intersects gate (normalizer.py:110-116): difference only
+            # when some coast polygon actually intersects (bbox prefilter +
+            # nonzero intersection)
+            if coast:
+                inter = _overlay.overlay(land, coast, "intersection")
+                if inter:
+                    land = _overlay.overlay(land, coast, "difference")
+        water = [
+            _wkb.loads(bytes(b))
+            for b in other_pdf.loc[other_pdf["role"] == "water", "o_geometry"]
+        ]
+        if water:
+            land = _overlay.overlay(land, water, "difference")
+    valid = []
+    for p in land:
+        valid.extend(_overlay.make_valid(p))
+    parts = []
+    for p in valid:
+        for part in _wkb.get_parts(p):
+            if part[0] == "Polygon":
+                parts.append(part)
+    # deterministic part order: canonical WKB
+    bufs = sorted(_wkb.dumps(p) for p in parts)
+    return pd.DataFrame(
+        [(region, i, b) for i, b in enumerate(bufs)],
+        columns=["region_code", "part_id", "geometry"],
+    )
+
+
 def normalize_land(
     admin: DataFrame, water: DataFrame, coastline: DataFrame | None = None
 ) -> DataFrame:
@@ -125,19 +171,20 @@ def normalize_land(
     kept = admin_num.join(F.broadcast(keep), "region_code").filter(
         F.col("admin_level") == F.col("keep_level")
     )
-    land = dissolve_by_region(kept)
+    # rename right-side columns — both sides share lineage with osm_ways and
+    # Spark flags the cogroup as an ambiguous self-join otherwise
+    other = water.select(
+        F.col("region_code").alias("o_region"), F.col("geometry").alias("o_geometry")
+    ).withColumn("role", F.lit("water"))
     if coastline is not None:
-        # only regions whose kept level is 2 get the coastline difference
-        # (normalizer.py:59-60); others pass through untouched
-        lvl2 = keep.filter(F.col("keep_level") == 2).select("region_code")
-        land2 = land.join(F.broadcast(lvl2), "region_code", "inner")
-        land_other = land.join(F.broadcast(lvl2), "region_code", "left_anti")
-        land2 = subtract_by_region(land2, coastline)
-        land = land_other.unionByName(land2)
-    land = subtract_by_region(land, water)
-    # explode to Polygon parts (blocker.py:55-56) — dissolve/difference
-    # kernels already emit single polygons per row, so this is a re-number
-    return land.withColumn(
-        "part_id",
-        F.row_number().over(Window.partitionBy("region_code").orderBy("part_id")) - 1,
+        other = other.unionByName(
+            coastline.select(
+                F.col("region_code").alias("o_region"), F.col("geometry").alias("o_geometry")
+            ).withColumn("role", F.lit("coast"))
+        )
+    return (
+        kept.select("region_code", "keep_level", "geometry")
+        .groupBy("region_code")
+        .cogroup(other.groupBy("o_region"))
+        .applyInPandas(_normalize_cogroup, LAND_SCHEMA)
     )

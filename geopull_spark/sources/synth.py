@@ -35,6 +35,24 @@ REGIONS = ["AAA", "BBB", "CCC"]
 REGION_X0 = {"AAA": 0.0, "BBB": 2.0, "CCC": 4.0}
 REGION_BOX = {r: (x0, 0.0, x0 + 1.0, 1.0) for r, x0 in REGION_X0.items()}
 
+# regions beyond the default 3 lay out on a 2°-pitch grid, 80 per latitude row
+_GRID_COLS = 80
+
+
+def region_specs(n_regions: int = 3) -> dict[str, tuple[float, float, float, float]]:
+    """Region code → 1°×1° box. n=3 keeps the canonical AAA/BBB/CCC world
+    (driver-contract / oracle compatibility); larger n scales the parallel
+    unit count for cluster-size benchmarks (one polygonize group per region)."""
+    if n_regions <= 3:
+        return {r: REGION_BOX[r] for r in REGIONS[:n_regions]}
+    out: dict[str, tuple[float, float, float, float]] = {}
+    for i in range(n_regions):
+        code = REGIONS[i] if i < 3 else f"R{i:03d}"
+        x0 = 2.0 * (i % _GRID_COLS)
+        y0 = 2.0 * (i // _GRID_COLS)
+        out[code] = (x0, y0, x0 + 1.0, y0 + 1.0)
+    return out
+
 OSM_WAYS_SCHEMA = T.StructType(
     [
         T.StructField("way_id", T.LongType(), False),
@@ -55,9 +73,9 @@ def _way_row(way_id: int, region: str, gtype: str, buf: bytes, tags: dict) -> tu
     return (way_id, region, gtype, buf, b[0], b[1], b[2], b[3], tags)
 
 
-def _region_fixed_ways(region: str, base_id: int) -> list[tuple]:
+def _region_fixed_ways(region: str, base_id: int, box, keep_level4: bool) -> list[tuple]:
     """Per-region fixed features: admin, water, coast noise, railway."""
-    x0, y0, x1, y1 = REGION_BOX[region]
+    x0, y0, x1, y1 = box
     rows = []
     wid = base_id
 
@@ -67,12 +85,12 @@ def _region_fixed_ways(region: str, base_id: int) -> list[tuple]:
         wid += 1
 
     sq = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
-    # admin level 2: full square (includes a maritime overhang strip on the
-    # east so the coastline-difference path has effect for CCC)
+    # admin level 2: full square; level-2-only regions get a maritime
+    # overhang strip on the east so the coastline-difference path has effect
     overhang = [(x0, y0), (x1 + 0.2, y0), (x1 + 0.2, y1), (x0, y1)]
-    add("polygon", wkb.polygon(overhang if region == "CCC" else sq), {"admin_level": "2"})
-    # admin level 4: quadrants (absent in CCC → keep-level-2 path)
-    if region != "CCC":
+    add("polygon", wkb.polygon(sq if keep_level4 else overhang), {"admin_level": "2"})
+    # admin level 4: quadrants (absent in level-2 regions, normalizer.py:94-95)
+    if keep_level4:
         mx, my = (x0 + x1) / 2, (y0 + y1) / 2
         for qx0, qy0, qx1, qy1 in [
             (x0, y0, mx, my),
@@ -89,30 +107,30 @@ def _region_fixed_ways(region: str, base_id: int) -> list[tuple]:
     add("polygon", wkb.polygon([(x0, y0), (x0 + 0.1, y0), (x0 + 0.1, y0 + 0.1), (x0, y0 + 0.1)]),
         {"admin_level": "yes"})
     # water: lake (SW), second lake (NE), river strip across the region
-    add("polygon", wkb.polygon([(x0 + 0.1, 0.1), (x0 + 0.2, 0.1), (x0 + 0.2, 0.2), (x0 + 0.1, 0.2)]),
+    add("polygon", wkb.polygon([(x0 + 0.1, y0 + 0.1), (x0 + 0.2, y0 + 0.1), (x0 + 0.2, y0 + 0.2), (x0 + 0.1, y0 + 0.2)]),
         {"natural": "water", "water": "lake"})
-    add("polygon", wkb.polygon([(x0 + 0.7, 0.75), (x0 + 0.85, 0.75), (x0 + 0.85, 0.9), (x0 + 0.7, 0.9)]),
+    add("polygon", wkb.polygon([(x0 + 0.7, y0 + 0.75), (x0 + 0.85, y0 + 0.75), (x0 + 0.85, y0 + 0.9), (x0 + 0.7, y0 + 0.9)]),
         {"natural": "water"})
-    add("polygon", wkb.polygon([(x0, 0.52), (x1, 0.52), (x1, 0.55), (x0, 0.55)]),
+    add("polygon", wkb.polygon([(x0, y0 + 0.52), (x1, y0 + 0.52), (x1, y0 + 0.55), (x0, y0 + 0.55)]),
         {"waterway": "riverbank"})
     # water polygon carrying an excluded 'natural' (reef) — NOT water-extracted
-    add("polygon", wkb.polygon([(x0 + 0.4, 0.02), (x0 + 0.45, 0.02), (x0 + 0.45, 0.06), (x0 + 0.4, 0.06)]),
+    add("polygon", wkb.polygon([(x0 + 0.4, y0 + 0.02), (x0 + 0.45, y0 + 0.02), (x0 + 0.45, y0 + 0.06), (x0 + 0.4, y0 + 0.06)]),
         {"natural": "reef"})
     # coastline linestring (excluded from linestring extract: natural!=coastline)
     add("linestring", wkb.linestring([(x0, y0), (x1, y1)]), {"natural": "coastline"})
     # railway crossing (kept by linestring extract)
-    add("linestring", wkb.linestring([(x0, 0.305), (x1, 0.305)]), {"railway": "rail"})
+    add("linestring", wkb.linestring([(x0, y0 + 0.305), (x1, y0 + 0.305)]), {"railway": "rail"})
     # boundary=administrative linestring (excluded)
-    add("linestring", wkb.linestring([(x0, 0.91), (x1, 0.91)]), {"boundary": "administrative"})
+    add("linestring", wkb.linestring([(x0, y0 + 0.91), (x1, y0 + 0.91)]), {"boundary": "administrative"})
     return rows
 
 
 _FIXED_PER_REGION = 64  # id budget for fixed ways per region
 
 
-def _street_way(way_id: int, region: str, n_grid: int) -> tuple:
+def _street_way(way_id: int, region: str, n_grid: int, box=None) -> tuple:
     """Street ``way_id`` → deterministic geometry+tags (pure function)."""
-    x0, y0, x1, y1 = REGION_BOX[region]
+    x0, y0, x1, y1 = box if box is not None else REGION_BOX[region]
     k = way_id % 1_000_000  # local street index within region
     rng_u = ((k * 48271 + 11) % 65536) / 65536.0  # LCG jitter, deterministic
     kind = k % 10
@@ -137,19 +155,24 @@ def _street_way(way_id: int, region: str, n_grid: int) -> tuple:
     return _way_row(way_id, region, "linestring", buf, tags)
 
 
-def gen_osm_ways(spark: SparkSession, streets_per_region: int = 60) -> DataFrame:
+def gen_osm_ways(spark: SparkSession, streets_per_region: int = 60,
+                 n_regions: int = 3) -> DataFrame:
     """Distributed deterministic osm_ways table.
 
-    ``streets_per_region`` scales the street count (the polygonize load);
-    the grid resolution grows with it (~sqrt) so block counts scale too.
-    """
+    ``streets_per_region`` scales per-region polygonize load (grid grows
+    ~sqrt); ``n_regions`` scales the number of parallel polygonize groups
+    (the cluster-size axis: each region is one group task)."""
     n_grid = max(int((streets_per_region / 2.2) ** 0.5) * 1, 3)
+    specs = region_specs(n_regions)
+    codes = list(specs)
     fixed = []
-    for i, r in enumerate(REGIONS):
-        fixed.extend(_region_fixed_ways(r, 1_000_000_000 + i * _FIXED_PER_REGION))
+    for i, r in enumerate(codes):
+        fixed.extend(
+            _region_fixed_ways(r, 1_000_000_000 + i * _FIXED_PER_REGION, specs[r],
+                               keep_level4=(i % 3 != 2))
+        )
     fixed_df = spark.createDataFrame(fixed, OSM_WAYS_SCHEMA)
 
-    n_regions = len(REGIONS)
     total = streets_per_region * n_regions
     base = spark.range(0, total, 1, numPartitions=max(spark.sparkContext.defaultParallelism, 4))
 
@@ -157,24 +180,26 @@ def gen_osm_ways(spark: SparkSession, streets_per_region: int = 60) -> DataFrame
         for pdf in batches:
             rows = []
             for i in pdf["id"].to_numpy():
-                region = REGIONS[int(i) % n_regions]
+                idx = int(i) % n_regions
+                region = codes[idx]
                 local = int(i) // n_regions
-                way_id = REGIONS.index(region) * 1_000_000 + local
-                rows.append(_street_way(way_id, region, n_grid))
+                way_id = idx * 1_000_000 + local
+                rows.append(_street_way(way_id, region, n_grid, specs[region]))
             yield pd.DataFrame(rows, columns=OSM_WAYS_SCHEMA.fieldNames())
 
     streets_df = base.mapInPandas(gen, OSM_WAYS_SCHEMA)
     return streets_df.unionByName(fixed_df)
 
 
-def gen_coastline(spark: SparkSession) -> DataFrame:
+def gen_coastline(spark: SparkSession, n_regions: int = 3) -> DataFrame:
     """Synthetic Daylight-style sea polygons (stand-in for
     ``geofile.py:505-535``): one sea strip east of each region overlapping
-    CCC's maritime overhang, so the keep-level-2 coastline-difference path
+    the level-2 regions' maritime overhang, so the coastline-difference path
     (normalizer.py:99-129) has a real effect."""
     rows = []
-    for i, r in enumerate(REGIONS):
-        x0, y0, x1, y1 = REGION_BOX[r]
+    specs = region_specs(n_regions)
+    for i, (r, box) in enumerate(specs.items()):
+        x0, y0, x1, y1 = box
         buf = wkb.polygon([(x1, y0 - 0.3), (x1 + 0.5, y0 - 0.3), (x1 + 0.5, y1 + 0.3), (x1, y1 + 0.3)])
         b = wkb.bounds(wkb.loads(buf))
         rows.append((2_000_000_000 + i, r, "polygon", buf, b[0], b[1], b[2], b[3], {}))
@@ -210,18 +235,26 @@ LON_EXPR = "((doc_id * 48271) % 100000) / CAST(100000 AS DOUBLE)"
 LAT_EXPR = "((doc_id * 69621) % 100000) / CAST(100000 AS DOUBLE)"
 
 
-def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def interleaved_documents(spark: SparkSession, sf_dir: str, n_regions: int = 3) -> DataFrame:
     """Expand the driver's flat ``documents`` table into the interleaved-span
     schema (doc_id:string, spans:array<struct<kind,text,media_ref,offset>>)
     plus a deterministic point location per doc (region + lon/lat) for the
-    doc→block spatial join. Pure Catalyst expressions — no UDFs."""
+    doc→block spatial join. Pure Catalyst expressions — no UDFs; exact
+    integer arithmetic (cross-engine oracle-reproducible at n_regions=3)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    specs = region_specs(n_regions)
+    codes = list(specs)
+    code_arr = ",".join(f"'{c}'" for c in codes)
+    x0_arr = ",".join(f"{specs[c][0]}D" for c in codes)
+    y0_arr = ",".join(f"{specs[c][1]}D" for c in codes)
+    ridx = f"cast(doc_id % {n_regions} as int)"
     return (
         docs.withColumn("spans", F.expr(SPAN_EXPR))
-        .withColumn("region_code", F.expr("element_at(array('AAA','BBB','CCC'), cast(doc_id % 3 as int) + 1)"))
-        .withColumn("region_x0", F.expr("element_at(array(0.0D, 2.0D, 4.0D), cast(doc_id % 3 as int) + 1)"))
+        .withColumn("region_code", F.expr(f"element_at(array({code_arr}), {ridx} + 1)"))
+        .withColumn("region_x0", F.expr(f"element_at(array({x0_arr}), {ridx} + 1)"))
+        .withColumn("region_y0", F.expr(f"element_at(array({y0_arr}), {ridx} + 1)"))
         .withColumn("lon", F.expr(f"region_x0 + {LON_EXPR}"))
-        .withColumn("lat", F.expr(LAT_EXPR))
+        .withColumn("lat", F.expr(f"region_y0 + {LAT_EXPR}"))
         .select(
             F.col("doc_id").cast("string").alias("doc_id"),
             "spans",
