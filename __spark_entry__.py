@@ -384,6 +384,50 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "rk", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 kNN via k-ring cell join, oracle-checked against brute force (doc
+    points are exact-arithmetic-derived, so distances match bit-for-bit)."""
+    from geopull_spark.operators.spatial_join import knn_points
+    from geopull_spark.sources.synth import interleaved_documents
+
+    pts = interleaved_documents(spark, sf_dir).select("doc_id", "lon", "lat")
+    return knn_points(pts, k=3, res=7).select(
+        "doc_id", "nbr_id", F.round("dist2", 12).alias("dist2"), "rk"
+    )
+
+
+def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup on the events stream table (the batch form of
+    streaming/ingest.windowed_block_counts; hour windows are epoch-aligned in
+    both engines)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def q_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6/A7/A8: global scalar aggregates in one row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)).cast("long").alias("price_cents"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: spans → media bytes → decode-stub → features."""
     from geopull_spark.operators.multimodal import (
@@ -430,6 +474,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_population": q_zonal_population,
     "ann_lsh": q_ann_lsh,
     "media_features": q_media_features,
+    "event_window": q_event_window,
+    "scalar_aggs": q_scalar_aggs,
+    "knn_docs": q_knn_docs,
 }
 
 
@@ -594,6 +641,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": _lang_id_oracle(),
+        "knn_docs": """
+            WITH pts AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (CASE doc_id % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 2.0 ELSE 4.0 END)
+                       + ((doc_id * 48271) % 100000) / 100000.0 AS lon,
+                     ((doc_id * 69621) % 100000) / 100000.0 AS lat
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id, b.doc_id AS nbr_id,
+                     (a.lon - b.lon) * (a.lon - b.lon)
+                   + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+              FROM pts a JOIN pts b ON a.doc_id != b.doc_id),
+            ranked AS (
+              SELECT doc_id, nbr_id, d2,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY d2 ASC, nbr_id ASC) AS rk
+              FROM pairs)
+            SELECT doc_id, nbr_id, round(d2, 12) AS dist2, rk
+            FROM ranked WHERE rk <= 3
+        """,
+        "event_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "scalar_aggs": """
+            SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+                   count(*) AS n_rows, count(DISTINCT l_suppkey) AS n_suppliers,
+                   CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS price_cents
+            FROM lineitem
+        """,
         "ann_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             sims AS (

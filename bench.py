@@ -88,7 +88,9 @@ def main() -> None:
             )
             .drop("rep")
         )
-    docs = docs.select("doc_id", "lon", "lat").persist()
+    # repartition: the source is one tiny parquet file, so the explode
+    # otherwise leaves the whole doc table in 1-2 partitions (serial probe)
+    docs = docs.select("doc_id", "lon", "lat").repartition(cpus * 4).persist()
     n_docs = docs.count()  # materialize input before the timed join
     t0 = time.time()
     bc = spatial_join.build_block_cell_index(blocks).persist()

@@ -19,7 +19,6 @@ import numpy as np
 
 from . import wkb
 from .area import ring_signed_area
-from .pointops import points_in_ring
 
 SNAP = 1e-9
 _Q = 1.0 / SNAP

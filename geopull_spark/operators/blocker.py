@@ -44,12 +44,7 @@ from ..kernels.overlay import dissolve as _dissolve
 from ..kernels.overlay import make_valid as _make_valid
 from ..kernels.overlay import normalize_geom, overlay as _overlay_op
 from ..kernels.pointops import representative_point
-from ..kernels.polygonize import (
-    extract_faces,
-    geoms_to_segments,
-    line_merge,
-    node_segments,
-)
+from ..kernels.polygonize import extract_faces, geoms_to_segments, node_segments
 
 BLOCKS_SCHEMA = T.StructType(
     [

@@ -20,7 +20,7 @@ orchestrator.py:87-91); every geometric group kernel is keyed by it.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -125,6 +125,39 @@ def zonal_population(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
     )
 
 
+def knn_points(pts: DataFrame, k: int = 3, res: int = 7,
+               id_col: str = "doc_id") -> DataFrame:
+    """J8 on raw points: k nearest neighbors via k-ring cell-key join +
+    row_number window. Exact whenever the true k-th neighbor lies within one
+    cell width (guaranteed here: res 7 cells span ~2.8°, regions span 1°).
+
+    ``pts`` carries (id_col, lon, lat). Deterministic ties: (dist2, id)."""
+    from pyspark.sql import Window
+
+    base = pts.select(id_col, "lon", "lat").withColumn(
+        "cell", st_cell(F.col("lon"), F.col("lat"), res)
+    )
+    left = base.withColumn("nbr_cell", F.explode(st_k_ring(F.col("cell"), 1)))
+    right = base.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col("lon").alias("nbr_lon"),
+        F.col("lat").alias("nbr_lat"),
+        F.col("cell").alias("nbr_cell"),
+    )
+    cand = left.join(right, "nbr_cell").filter(F.col(id_col) != F.col("nbr_id"))
+    cand = cand.withColumn(
+        "dist2",
+        (F.col("lon") - F.col("nbr_lon")) * (F.col("lon") - F.col("nbr_lon"))
+        + (F.col("lat") - F.col("nbr_lat")) * (F.col("lat") - F.col("nbr_lat")),
+    ).dropDuplicates([id_col, "nbr_id"])
+    w = Window.partitionBy(id_col).orderBy(F.col("dist2").asc(), F.col("nbr_id").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "nbr_id", "dist2", "rk")
+    )
+
+
 def knn_blocks(blocks: DataFrame, k: int = 4, res: int = 12) -> DataFrame:
     """J8: k nearest blocks per block via k-ring cell expansion + exact
     rep-point distance + row_number window."""

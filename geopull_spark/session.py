@@ -28,7 +28,13 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE coalescing targets max(minPartitionSize, bytes/parallelism);
+        # with the default 1MB floor our geometry group-kernels (tiny bytes,
+        # huge CPU) collapse onto ~1 task (measured 10.5× slowdown on the
+        # blocker stage). minPartitionSize=1b keeps the coalesce target at
+        # bytes/parallelism → every shuffle lands near defaultParallelism.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

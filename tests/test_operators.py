@@ -161,3 +161,41 @@ def test_zonal_population_positive(spark):
     # deterministic
     z2 = spatial_join.zonal_population(blocks, res=15)
     assert sorted(map(tuple, z.collect())) == sorted(map(tuple, z2.collect()))
+
+
+def test_salted_assignment_matches_unsalted(spark):
+    """Explicit skew salting (north_star requirement) must not change the
+    join result — only the shuffle layout."""
+    from geopull_spark.operators import blocker, extract, normalize
+
+    ways = synth.gen_osm_ways(spark, streets_per_region=25)
+    land = normalize.normalize_land(
+        extract.extract_admin(ways), extract.extract_water(ways), synth.gen_coastline(spark)
+    )
+    blocks = blocker.build_blocks(land, extract.extract_linestrings(ways))
+    bc = spatial_join.build_block_cell_index(blocks).cache()
+    docs = synth.interleaved_documents(spark, SF).select("doc_id", "lon", "lat")
+    plain = spatial_join.assign_docs_to_blocks(docs, bc)
+    salted = spatial_join.assign_docs_to_blocks(docs, bc, salt_k=4)
+    a = sorted((r["doc_id"], r["block_id"]) for r in plain.collect())
+    b = sorted((r["doc_id"], r["block_id"]) for r in salted.collect())
+    assert a == b
+
+
+def test_knn_points_exact_vs_brute(spark):
+    """k-ring kNN equals brute force when cells dwarf the point spread."""
+    import itertools
+
+    pts = [(str(i), float(i % 7) * 0.01, float(i % 5) * 0.01) for i in range(30)]
+    df = spark.createDataFrame(pts, ["doc_id", "lon", "lat"])
+    got = {
+        (r["doc_id"], r["rk"]): r["nbr_id"]
+        for r in spatial_join.knn_points(df, k=2, res=7).collect()
+    }
+    for pid, px, py in pts:
+        dists = sorted(
+            ((qx - px) ** 2 + (qy - py) ** 2, qid)
+            for qid, qx, qy in pts if qid != pid
+        )
+        for rk, (d, qid) in enumerate(dists[:2], start=1):
+            assert got[(pid, rk)] == qid, (pid, rk)
