@@ -428,6 +428,14 @@ def q_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact mode → DuckDB oracle)."""
+    from geopull_spark.operators.similarity import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(e, threshold=0.25)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: spans → media bytes → decode-stub → features."""
     from geopull_spark.operators.multimodal import (
@@ -477,6 +485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_window": q_event_window,
     "scalar_aggs": q_scalar_aggs,
     "knn_docs": q_knn_docs,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 
@@ -641,6 +650,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": _lang_id_oracle(),
+        "embedding_neardup": """
+            WITH v AS (SELECT vec_id, embedding FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_sum(list_transform(generate_series(1, len(a.embedding)),
+                                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       6) AS cos_sim
+              FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.25
+        """,
         "knn_docs": """
             WITH pts AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,

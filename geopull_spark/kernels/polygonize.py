@@ -110,16 +110,19 @@ def _candidate_pairs(q: np.ndarray, max_pairs: int = 50_000_000) -> np.ndarray:
     bx1 = ((maxx - gminx) // cell).astype(np.int64)
     by0 = ((miny - gminy) // cell).astype(np.int64)
     by1 = ((maxy - gminy) // cell).astype(np.int64)
-    seg_ids, bin_ids = [], []
-    for i in range(n):
-        xs = np.arange(bx0[i], bx1[i] + 1)
-        ys = np.arange(by0[i], by1[i] + 1)
-        gx, gy = np.meshgrid(xs, ys, indexing="ij")
-        b = gx.ravel() * ny + gy.ravel()
-        seg_ids.append(np.full(len(b), i, dtype=np.int64))
-        bin_ids.append(b)
-    seg_ids = np.concatenate(seg_ids)
-    bin_ids = np.concatenate(bin_ids)
+    # vectorized bin enumeration: k-th covered bin of segment i is
+    # (bx0+k%w, by0+k//w) — no per-segment python loop
+    w = bx1 - bx0 + 1
+    h = by1 - by0 + 1
+    counts_per_seg = w * h
+    total_bins = int(counts_per_seg.sum())
+    seg_ids = np.repeat(np.arange(n, dtype=np.int64), counts_per_seg)
+    offsets = np.concatenate([[0], np.cumsum(counts_per_seg)[:-1]])
+    k = np.arange(total_bins, dtype=np.int64) - np.repeat(offsets, counts_per_seg)
+    wr = np.repeat(w, counts_per_seg)
+    bin_ids = (np.repeat(bx0, counts_per_seg) + k % wr) * ny + (
+        np.repeat(by0, counts_per_seg) + k // wr
+    )
     order = np.argsort(bin_ids, kind="stable")
     seg_ids, bin_ids = seg_ids[order], bin_ids[order]
     starts = np.flatnonzero(np.diff(bin_ids, prepend=bin_ids[0] - 1))

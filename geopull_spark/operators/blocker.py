@@ -86,20 +86,22 @@ def _make_blocks(land_parts: list, line_geoms: list) -> list:
     return [("Polygon", rings) for rings in faces]
 
 
-def _remove_overlaps(blocks: list, region: str, land_area: float | None = None) -> list:
+def _remove_overlaps(blocks: list, areas: list, region: str,
+                     land_area: float | None = None) -> tuple[list, list]:
     """blocker.py:82-164. Polygonize faces are disjoint by construction, so
     when Σ block areas ≤ land area (+1 m², the reference's own sliver
     threshold at blocker.py:100) no overlap can exist and the O(n²) pair scan
     is skipped; the correction path stays exact for genuinely overlapping
-    inputs (reference overlap fixture)."""
-    blocks = [b for b in blocks if geom_area_m2(b) > 1.0]
+    inputs (reference overlap fixture). Carries per-block areas to avoid
+    recomputing the Mercator transform."""
+    kept = [(b, a) for b, a in zip(blocks, areas) if a > 1.0]
+    blocks = [b for b, _ in kept]
+    areas = [a for _, a in kept]
     n = len(blocks)
     if n < 2:
-        return blocks
-    if land_area is not None:
-        blocks_area = sum(geom_area_m2(b) for b in blocks)
-        if blocks_area <= land_area + 1.0:
-            return blocks
+        return blocks, areas
+    if land_area is not None and sum(areas) <= land_area + 1.0:
+        return blocks, areas
     boxes = np.array([_wkb.bounds(b) for b in blocks])
     pairs = []
     order = np.argsort(boxes[:, 0])
@@ -114,20 +116,23 @@ def _remove_overlaps(blocks: list, region: str, land_area: float | None = None) 
                 if inter and sum(geom_area_m2(p) for p in inter) > 0:
                     pairs.append((int(min(i, j)), int(max(i, j))))
     if not pairs:
-        return blocks
+        return blocks, areas
     overlap_ids = sorted({i for p in pairs for i in p})
     keep_ids = [i for i in range(n) if i not in set(overlap_ids)]
-    # boundary → line_merge → polygonize → difference vs non-overlapping
+    # boundary → re-polygonize → difference vs non-overlapping → dissolve
     seg_src = [blocks[i] for i in overlap_ids]
     noded = node_segments(geoms_to_segments(seg_src))
     pieces = [("Polygon", rings) for rings in extract_faces(noded)]
     keep_blocks = [blocks[i] for i in keep_ids]
     corrected = _overlay_op(pieces, keep_blocks, "difference")
-    merged = _dissolve([_wkb.dumps(p) for p in corrected])
-    return keep_blocks + _validate(merged)
+    merged = _validate(_dissolve([_wkb.dumps(p) for p in corrected]))
+    out = keep_blocks + merged
+    out_areas = [areas[i] for i in keep_ids] + [geom_area_m2(b) for b in merged]
+    return out, out_areas
 
 
-def _geohash_blocks(blocks: list, region: str, precision: int = 12) -> pd.DataFrame:
+def _geohash_blocks(blocks: list, areas: list, region: str,
+                    precision: int = 12) -> pd.DataFrame:
     """blocker.py:296-322 with the deterministic tie order (W1 note)."""
     if not blocks:
         return pd.DataFrame(
@@ -136,7 +141,6 @@ def _geohash_blocks(blocks: list, region: str, precision: int = 12) -> pd.DataFr
     reps = np.array([representative_point(b[1]) for b in blocks])
     ghs = geohash_encode(reps[:, 1], reps[:, 0], precision)
     wkbs = [_wkb.dumps(normalize_geom(b)) for b in blocks]
-    areas = [geom_area_m2(b) for b in blocks]
     df = pd.DataFrame(
         {
             "region_code": region,
@@ -169,15 +173,17 @@ def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFr
     line_geoms = [_wkb.loads(bytes(b)) for b in lines_pdf["geometry"]] if len(lines_pdf) else []
 
     blocks = _make_blocks(land_parts, line_geoms)
-    blocks = _validate(blocks)
+    # no _validate here: extract_faces emits simple rings by construction
+    # (pinch points split by the angular walk), and the reference's
+    # make_valid (blocker.py:281-294) is the identity on valid polygons
+    areas = [geom_area_m2(b) for b in blocks]
 
     # _add_back_water_features (blocker.py:202-231): polygonize filled the
     # water cutouts (holes in land parts); clip those faces back to land.
     # Only blocks whose bbox intersects a hole bbox can need clipping —
     # everything else is already inside land (hole-bbox prefilter).
     land_area = sum(geom_area_m2(p) for p in land_parts)
-    blocks_area = sum(geom_area_m2(b) for b in blocks)
-    if blocks_area - land_area > 1.0:
+    if sum(areas) - land_area > 1.0:
         hole_boxes = []
         for _, rings in land_parts:
             for hole in rings[1:]:
@@ -185,32 +191,35 @@ def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFr
                 hole_boxes.append(
                     (h[:, 0].min(), h[:, 1].min(), h[:, 0].max(), h[:, 1].max())
                 )
-        clipped = []
-        for b in blocks:
+        new_blocks, new_areas = [], []
+        for b, a in zip(blocks, areas):
             bb = _wkb.bounds(b)
             touches_hole = any(
                 bb[0] <= hx1 and bb[2] >= hx0 and bb[1] <= hy1 and bb[3] >= hy0
                 for hx0, hy0, hx1, hy1 in hole_boxes
             )
             if touches_hole:
-                clipped.extend(_overlay_op([b], land_parts, "intersection"))
+                for c in _validate(_overlay_op([b], land_parts, "intersection")):
+                    new_blocks.append(c)
+                    new_areas.append(geom_area_m2(c))
             else:
-                clipped.append(b)
-        blocks = _validate(clipped)
+                new_blocks.append(b)
+                new_areas.append(a)
+        blocks, areas = new_blocks, new_areas
 
-    blocks = _remove_overlaps(blocks, region, land_area=land_area)
+    blocks, areas = _remove_overlaps(blocks, areas, region, land_area=land_area)
 
     # _residual_area_check (blocker.py:166-200); >1 m² threshold — float
     # epsilon residues produce empty geometry in the reference too, this
     # just skips the no-op union
-    blocks_area = sum(geom_area_m2(b) for b in blocks)
-    if land_area - blocks_area > 1.0:
+    if land_area - sum(areas) > 1.0:
         union_blocks = _dissolve([_wkb.dumps(b) for b in blocks])
         residue = _overlay_op(land_parts, union_blocks, "difference")
-        residue = [p for p in residue if geom_area_m2(p) > 0]
-        blocks = blocks + _validate(residue)
+        residue = _validate([p for p in residue if geom_area_m2(p) > 0])
+        blocks = blocks + residue
+        areas = areas + [geom_area_m2(p) for p in residue]
 
-    return _geohash_blocks(blocks, region)
+    return _geohash_blocks(blocks, areas, region)
 
 
 def build_blocks(land: DataFrame, lines: DataFrame) -> DataFrame:

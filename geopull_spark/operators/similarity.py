@@ -72,6 +72,39 @@ def lsh_cosine_signature(emb: DataFrame, dim: int, n_planes: int = 16,
     return emb.withColumn("lsh_sig", sig.cast("long"))
 
 
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            use_lsh: bool = False, dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
+
+    Exact mode: block-nested self-join (small/medium sets; SQL-expressible →
+    oracle-checkable). LSH mode: candidates from shared signature bands first
+    — the 10^12-scale path."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if use_lsh:
+        if dim is None:
+            raise ValueError("dim required for LSH mode")
+        sig = lsh_cosine_signature(emb, dim, 16, vec_col)
+        s_a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                         (F.col("lsh_sig") & F.lit(0xFF)).alias("bk"))
+        s_b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                         (F.col("lsh_sig") & F.lit(0xFF)).alias("bk"))
+        cand = s_a.join(s_b, "bk").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = F.try_divide(
+        _dot(F.col("v_a"), F.col("v_b")), _norm(F.col("v_a")) * _norm(F.col("v_b"))
+    )
+    # round before filtering so the threshold compare is robust to last-ulp
+    # summation differences across engines (oracle parity)
+    return (
+        cand.withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                     n_planes: int = 16, n_bands: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",

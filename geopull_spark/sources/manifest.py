@@ -98,3 +98,23 @@ class SnapshotTable:
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         return spark.read.parquet(snap["data_dir"])
+
+    # -- time travel / history (Iceberg-shaped) --------------------------------
+    def snapshot(self, snapshot_id: str) -> dict:
+        with open(os.path.join(self.manifest_dir, f"v{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def read_at(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        """Time travel: read a historical snapshot by id (data dirs are
+        immutable — commits never rewrite prior snapshots)."""
+        return spark.read.parquet(self.snapshot(snapshot_id)["data_dir"])
+
+    def history(self) -> list[dict]:
+        """Snapshot lineage chain, newest first."""
+        out = []
+        snap = self.current_snapshot()
+        while snap is not None:
+            out.append(snap)
+            pid = snap.get("parent_id")
+            snap = self.snapshot(pid) if pid else None
+        return out

@@ -188,3 +188,17 @@ def test_manifest_resume(spark, tmp_path):
     m3 = t.commit(spark.range(5).withColumn("region_code", F.lit("BBB")), "fp2")
     assert m3["parent_id"] == m1["snapshot_id"]
     assert t.read(spark).count() == 5
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    """Iceberg-shaped time travel: historical snapshots stay readable and
+    history() walks the parent chain."""
+    from geopull_spark.sources.manifest import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tt"))
+    m1 = t.commit(spark.range(3), "v1")
+    m2 = t.commit(spark.range(7), "v2")
+    assert t.read(spark).count() == 7
+    assert t.read_at(spark, m1["snapshot_id"]).count() == 3
+    hist = t.history()
+    assert [h["snapshot_id"] for h in hist] == [m2["snapshot_id"], m1["snapshot_id"]]
