@@ -40,6 +40,43 @@ def docs_with_cell(docs: DataFrame, res: int = INDEX_RES) -> DataFrame:
     return docs.withColumn("cell", st_cell(F.col("lon"), F.col("lat"), res))
 
 
+_REFINE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("block_id", T.StringType()),
+    ]
+)
+
+PARENT_RES = 8  # refine group granularity: ~256 groups at 64 regions
+
+
+def _pip_refine_cogroup(cand: pd.DataFrame, geom: pd.DataFrame) -> pd.DataFrame:
+    """Exact PIP refine for one parent-cell group: decode each block once,
+    test all its candidate points vectorized. Grouping at PARENT_RES keeps
+    group counts in the hundreds (per-block groups would mean 10^5+ pandas
+    invocations; per-candidate geometry shipping would dominate the shuffle)."""
+    if len(cand) == 0 or len(geom) == 0:
+        return pd.DataFrame(columns=_REFINE_SCHEMA.fieldNames())
+    from ..kernels import wkb as _wkb
+    from ..kernels.pointops import point_in_geom
+
+    geoms = {
+        bid: _wkb.loads(bytes(buf))
+        for bid, buf in zip(geom["g_block_id"], geom["g_geometry"])
+    }
+    keep = np.zeros(len(cand), dtype=bool)
+    px = cand["lon"].to_numpy(np.float64)
+    py = cand["lat"].to_numpy(np.float64)
+    for bid, idx in cand.groupby("block_id", sort=False).indices.items():
+        g = geoms.get(bid)
+        if g is None:
+            continue
+        keep[idx] = point_in_geom(px[idx], py[idx], g)
+    return cand.loc[keep, ["doc_id", "lon", "lat", "block_id"]]
+
+
 def assign_docs_to_blocks(
     docs: DataFrame,
     block_cells: DataFrame,
@@ -57,20 +94,45 @@ def assign_docs_to_blocks(
     shuffle-hash vs sort-merge otherwise.
     """
     d = docs_with_cell(docs)
-    bc = block_cells
+    # narrow index for the candidate join — shipping WKB per candidate row
+    # would dominate the shuffle (geometry is ~500B vs ~40B of keys)
+    bc_narrow = block_cells.select("cell", "block_id")
+    # geometry side keyed by coarse parent cell; renamed columns (both
+    # cogroup sides derive from block_cells → ambiguous-self-join check)
+    @pandas_udf(T.LongType())
+    def _parent(cell: pd.Series) -> pd.Series:
+        return pd.Series(_cells.cell_parent(cell.to_numpy(np.int64), PARENT_RES))
+
+    geom = (
+        block_cells.withColumn("g_pcell", _parent(F.col("cell")))
+        .select(
+            "g_pcell",
+            F.col("block_id").alias("g_block_id"),
+            F.col("geometry").alias("g_geometry"),
+        )
+        .dropDuplicates(["g_pcell", "g_block_id"])
+    )
     if salt_k > 1:
-        bc = bc.withColumn("salt", F.explode(F.array([F.lit(i) for i in range(salt_k)])))
+        bc_narrow = bc_narrow.withColumn(
+            "salt", F.explode(F.array([F.lit(i) for i in range(salt_k)]))
+        )
         d = d.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_k)))
         join_keys = ["cell", "salt"]
     else:
         join_keys = ["cell"]
-    right = F.broadcast(bc) if broadcast_index else bc
-    joined = d.join(right, join_keys, "inner")
-    # cluster candidate rows by block within each partition: the PIP kernel
-    # decodes each distinct WKB once per Arrow batch, so long same-block runs
-    # turn the refine into one decode + one vectorized test per block
-    joined = joined.sortWithinPartitions("block_id")
-    refined = joined.filter(st_contains_point(F.col("geometry"), F.col("lon"), F.col("lat")))
+    right = F.broadcast(bc_narrow) if broadcast_index else bc_narrow
+    cand = (
+        d.join(right, join_keys, "inner")
+        .withColumn("pcell", _parent(F.col("cell")))
+        .select("pcell", "doc_id", "lon", "lat", "block_id")
+    )
+    # cogrouped PIP refine per parent cell: each block's geometry crosses the
+    # shuffle once per parent group (not once per candidate row)
+    refined = (
+        cand.groupBy("pcell")
+        .cogroup(geom.groupBy("g_pcell"))
+        .applyInPandas(_pip_refine_cogroup, _REFINE_SCHEMA)
+    )
     # boundary points can hit 2 blocks → deterministic min block_id
     return (
         refined.groupBy("doc_id")
