@@ -27,6 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: block delineation + doc→block join at sf0.001."""
     from geopull_spark.plans.pipeline import run_pipeline
 
+    _tune(spark)
     wh = os.path.join(tempfile.gettempdir(), "geopull_spark_wh_entry")
     out = run_pipeline(
         spark, wh, sf_dir="/root/testdata/sf0.001", streets_per_region=40
@@ -45,9 +46,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime-settable knobs for sessions we didn't build (driver harness):
+    AQE byte-coalescing collapses tiny-bytes/huge-CPU geometry kernel stages
+    onto one task; minPartitionSize=1b keeps the coalesce target at
+    bytes/parallelism (see geopull_spark.session for the measured numbers)."""
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores * 4, 16)))
+    except Exception:
+        pass  # conf may be restricted; defaults still correct, just slower
+
+
 def _pipeline(spark: SparkSession, sf_dir: str):
     from geopull_spark.plans.pipeline import run_pipeline
 
+    _tune(spark)
     tag = os.path.basename(os.path.normpath(sf_dir))
     wh = os.path.join(tempfile.gettempdir(), f"geopull_spark_wh_{tag}")
     return run_pipeline(spark, wh, sf_dir=sf_dir, streets_per_region=60)
