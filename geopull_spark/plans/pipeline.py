@@ -26,7 +26,11 @@ def run_pipeline(
     use_manifest: bool = True,
 ) -> dict[str, DataFrame]:
     """Returns the stage DataFrames; writes snapshots under ``warehouse``."""
-    fp_world = f"synth:v1:streets={streets_per_region}"
+    from .. import __version__
+
+    # engine version in the fingerprint: kernel changes must invalidate
+    # cached snapshots, not silently serve old-code results
+    fp_world = f"synth:v1:streets={streets_per_region}:engine={__version__}"
     ways = synth.gen_osm_ways(spark, streets_per_region)
 
     if use_manifest:
