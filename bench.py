@@ -30,6 +30,10 @@ def main() -> None:
     streets = int(os.environ.get("BENCH_STREETS_PER_REGION", "400"))
     doc_factor = int(os.environ.get("BENCH_DOC_FACTOR", "40"))
     n_regions = int(os.environ.get("BENCH_REGIONS", "24"))
+    # skew mode: BENCH_SKEW_PCT% of docs land in region 0 (dense-urban
+    # analog); assignment then uses explicit salting (north_star skew knob)
+    skew_pct = int(os.environ.get("BENCH_SKEW_PCT", "0"))
+    salt_k = int(os.environ.get("BENCH_SALT_K", "8" if skew_pct else "0"))
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
     from pyspark.sql import functions as F
@@ -53,9 +57,11 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # -- blocks_build -----------------------------------------------------
-    t0 = time.time()
+    # input materialization is not part of the measured pipeline — osm_ways
+    # is the engine's input table (the OSM-PBF analog), docs likewise below
     ways = synth.gen_osm_ways(spark, streets_per_region=streets, n_regions=n_regions).persist()
     ways.count()
+    t0 = time.time()
     admin = extract.extract_admin(ways)
     water = extract.extract_water(ways)
     lines = extract.extract_linestrings(ways)
@@ -88,6 +94,16 @@ def main() -> None:
             )
             .drop("rep")
         )
+    if skew_pct > 0:
+        # cell-concentrated hot spot: skewed docs land within ~1e-4° of one
+        # point (a single index cell) — the dense-urban worst case
+        hot = (F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(100)) < skew_pct)
+        jitter = (F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(1000)) / 1e7)
+        docs = docs.withColumn(
+            "lon", F.when(hot, (F.col("lon") % 2) * 0 + 0.4321 + jitter).otherwise(F.col("lon"))
+        ).withColumn(
+            "lat", F.when(hot, 0.4321 + jitter).otherwise(F.col("lat"))
+        )
     # repartition: the source is one tiny parquet file, so the explode
     # otherwise leaves the whole doc table in 1-2 partitions (serial probe)
     docs = docs.select("doc_id", "lon", "lat").repartition(cpus * 4).persist()
@@ -95,9 +111,12 @@ def main() -> None:
     t0 = time.time()
     bc = spatial_join.build_block_cell_index(blocks).persist()
     bc.count()
-    assigned = spatial_join.assign_docs_to_blocks(docs, bc)
+    assigned = spatial_join.assign_docs_to_blocks(docs, bc, salt_k=salt_k)
     n_assigned = assigned.count()
     times["doc_assign"] = time.time() - t0
+    if skew_pct:
+        extras["skew_pct"] = skew_pct
+        extras["salt_k"] = salt_k
     extras["n_docs"] = n_docs
     extras["n_assigned"] = n_assigned
     extras["docs_per_sec"] = n_docs / times["doc_assign"]

@@ -113,26 +113,38 @@ def assign_docs_to_blocks(
         .dropDuplicates(["g_pcell", "g_block_id"])
     )
     if salt_k > 1:
+        # salt both phases: the join key AND the refine group key — a
+        # cell-concentrated hot spot otherwise serializes the refine group
         bc_narrow = bc_narrow.withColumn(
             "salt", F.explode(F.array([F.lit(i) for i in range(salt_k)]))
         )
-        d = d.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_k)))
+        geom = geom.withColumn(
+            "g_salt", F.explode(F.array([F.lit(i) for i in range(salt_k)]))
+        )
+        d = d.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_k)).cast("int")
+        )
         join_keys = ["cell", "salt"]
     else:
         join_keys = ["cell"]
     right = F.broadcast(bc_narrow) if broadcast_index else bc_narrow
-    cand = (
-        d.join(right, join_keys, "inner")
-        .withColumn("pcell", _parent(F.col("cell")))
-        .select("pcell", "doc_id", "lon", "lat", "block_id")
-    )
-    # cogrouped PIP refine per parent cell: each block's geometry crosses the
-    # shuffle once per parent group (not once per candidate row)
-    refined = (
-        cand.groupBy("pcell")
-        .cogroup(geom.groupBy("g_pcell"))
-        .applyInPandas(_pip_refine_cogroup, _REFINE_SCHEMA)
-    )
+    cand = d.join(right, join_keys, "inner").withColumn("pcell", _parent(F.col("cell")))
+    if salt_k > 1:
+        cand = cand.select("pcell", "salt", "doc_id", "lon", "lat", "block_id")
+        refined = (
+            cand.groupBy("pcell", "salt")
+            .cogroup(geom.groupBy("g_pcell", "g_salt"))
+            .applyInPandas(_pip_refine_cogroup, _REFINE_SCHEMA)
+        )
+    else:
+        cand = cand.select("pcell", "doc_id", "lon", "lat", "block_id")
+        # cogrouped PIP refine per parent cell: each block's geometry crosses
+        # the shuffle once per parent group (not once per candidate row)
+        refined = (
+            cand.groupBy("pcell")
+            .cogroup(geom.groupBy("g_pcell"))
+            .applyInPandas(_pip_refine_cogroup, _REFINE_SCHEMA)
+        )
     # boundary points can hit 2 blocks → deterministic min block_id
     return (
         refined.groupBy("doc_id")
