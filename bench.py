@@ -70,6 +70,11 @@ def main() -> None:
     ).persist()
     blocks = blocker.build_blocks(land, lines).persist()
     n_blocks = blocks.count()
+    # the narrow block-cell index is blocks-side work (built once per blocks
+    # snapshot, amortized over every doc batch) → timed with blocks_build,
+    # not with the per-batch assignment join (VERDICT r1 item 1)
+    bc = spatial_join.build_block_cell_index(blocks).persist()
+    bc.count()
     times["blocks_build"] = time.time() - t0
     extras["n_blocks"] = n_blocks
     extras["blocks_per_sec"] = n_blocks / times["blocks_build"]
@@ -109,9 +114,7 @@ def main() -> None:
     docs = docs.select("doc_id", "lon", "lat").repartition(cpus * 4).persist()
     n_docs = docs.count()  # materialize input before the timed join
     t0 = time.time()
-    bc = spatial_join.build_block_cell_index(blocks).persist()
-    bc.count()
-    assigned = spatial_join.assign_docs_to_blocks(docs, bc, salt_k=salt_k)
+    assigned = spatial_join.assign_docs_to_blocks(docs, blocks, bc, salt_k=salt_k)
     n_assigned = assigned.count()
     times["doc_assign"] = time.time() - t0
     if skew_pct:

@@ -47,7 +47,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"geopull_spark_{args.cmd}", master=f"local[{args.cpus}]")
     wh = args.warehouse
-    fp = f"synth:v1:streets={args.streets}:regions={args.regions}"
+    # engine version in the fingerprint (matches plans/pipeline.py): kernel
+    # changes must invalidate cached snapshots, not serve stale results
+    from geopull_spark import __version__
+
+    fp = f"synth:v1:streets={args.streets}:regions={args.regions}:engine={__version__}"
 
     def t(name: str) -> SnapshotTable:
         return SnapshotTable(os.path.join(wh, name))
@@ -91,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         blocks = t("blocks").read(spark)
         docs = synth.interleaved_documents(spark, sf_dir, n_regions=args.regions)
         bc = spatial_join.build_block_cell_index(blocks)
-        assigned = spatial_join.assign_docs_full(docs, bc)
+        assigned = spatial_join.assign_docs_full(docs, blocks, bc)
         m = t("doc_blocks").commit(
             assigned, f"{fp}|docs:{sf_dir}",
             partition_count_col="region_code", lineage=[fp, f"docs:{sf_dir}"],

@@ -7,10 +7,18 @@ Implemented as vectorized numpy bit-interleaving (the iterative bisection of
 the textbook algorithm is equivalent to reading the bits of
 ``floor(frac * 2**nbits)`` MSB-first).
 
-The cell grid is an S2-style equirectangular quadtree (Morton / Z-order
-interleave of quantized lon/lat) packed into an int64:
+The cell grid is an S2-style **equal-area** quadtree: Morton / Z-order
+interleave of quantized (lon, sin lat) packed into an int64:
 
-    cell = (res << 58) | morton(lon_bits, lat_bits)     res in [0, 28]
+    cell = (res << 58) | morton(lon_bits, sinlat_bits)     res in [0, 28]
+
+Quantizing sin(lat) instead of lat is the Lambert cylindrical equal-area
+projection: the spherical zone between two latitudes has area proportional to
+Δsin(lat), so every cell at a given resolution has EXACTLY the same ground
+area (max/min ratio 1.0 at any latitude — vs ~cos(lat) shrinkage for the
+equirectangular grid this replaces; VERDICT r1 item 5). Shape distorts toward
+the poles (cells get wide and flat in degree terms) but occupancy skew from
+area variation is eliminated, which is what matters for the cell-key joins.
 
 It powers every spatial join in the engine (SURVEY.md J1-J9): cover a
 geometry's bbox with cells at a resolution, equi-join on the cell key, then
@@ -18,6 +26,10 @@ refine with the exact predicate. True icosahedral H3 is not implementable in
 this offline sandbox; the BASELINE.json north_star explicitly allows the
 S2-style fallback, and the API (cover / parent / k_ring) is kept
 H3-shaped so a real H3 kernel can be swapped in.
+
+JVM parity: ``functions/cellexpr.py`` implements the same mapping as Catalyst
+column expressions (the hot doc/cover path never leaves the JVM); this numpy
+version is the kernel-side mirror (kNN, zonal, tests).
 """
 
 from __future__ import annotations
@@ -77,19 +89,31 @@ def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int = 12) -> np.
 # ---------------------------------------------------------------------------
 
 MAX_RES = 28
+_FRACMAX = np.nextafter(1.0, 0.0)  # == 1 - 2**-53, mirrored in cellexpr.py
+
+
+def lat_fraction(lat: np.ndarray) -> np.ndarray:
+    """Equal-area y fraction of a latitude: (sin(lat)+1)/2 ∈ [0, 1)."""
+    return np.clip((np.sin(np.radians(np.asarray(lat, dtype=np.float64))) + 1.0) / 2.0,
+                   0.0, _FRACMAX)
+
+
+def lon_fraction(lon: np.ndarray) -> np.ndarray:
+    return np.clip((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0, 0.0, _FRACMAX)
+
+
+def fraction_to_lat(fy: np.ndarray) -> np.ndarray:
+    """Inverse of lat_fraction (degrees)."""
+    return np.degrees(np.arcsin(np.clip(2.0 * np.asarray(fy, dtype=np.float64) - 1.0, -1.0, 1.0)))
 
 
 def cell_id(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     """int64 cell id containing each point at resolution ``res``."""
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in [0, {MAX_RES}]")
-    lon = np.asarray(lon, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
     n = 1 << res
-    fx = np.clip((lon + 180.0) / 360.0, 0.0, np.nextafter(1.0, 0.0))
-    fy = np.clip((lat + 90.0) / 180.0, 0.0, np.nextafter(1.0, 0.0))
-    ix = np.floor(fx * n).astype(np.uint64)
-    iy = np.floor(fy * n).astype(np.uint64)
+    ix = np.floor(lon_fraction(lon) * n).astype(np.uint64)
+    iy = np.floor(lat_fraction(lat) * n).astype(np.uint64)
     return _pack(ix, iy, res)
 
 
@@ -135,10 +159,10 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int,
     geometry size; see :func:`res_for_extent`).
     """
     n = 1 << res
-    fx0 = np.clip((minx + 180.0) / 360.0, 0.0, np.nextafter(1.0, 0.0))
-    fx1 = np.clip((maxx + 180.0) / 360.0, 0.0, np.nextafter(1.0, 0.0))
-    fy0 = np.clip((miny + 90.0) / 180.0, 0.0, np.nextafter(1.0, 0.0))
-    fy1 = np.clip((maxy + 90.0) / 180.0, 0.0, np.nextafter(1.0, 0.0))
+    fx0 = lon_fraction(np.asarray(minx))
+    fx1 = lon_fraction(np.asarray(maxx))
+    fy0 = lat_fraction(np.asarray(miny))  # monotonic → bounds map to bounds
+    fy1 = lat_fraction(np.asarray(maxy))
     ix0, ix1 = int(fx0 * n), int(fx1 * n)
     iy0, iy1 = int(fy0 * n), int(fy1 * n)
     count = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
@@ -182,9 +206,22 @@ def res_for_extent(width_deg: float, target_cells: int = 16) -> int:
 
 
 def cell_bounds(cell: int) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) in degrees — lat bounds via asin inversion."""
     ix, iy, res = cell_xy(np.asarray([cell]))
     n = float(1 << int(res[0]))
-    w, h = 360.0 / n, 180.0 / n
+    w = 360.0 / n
     minx = -180.0 + float(ix[0]) * w
-    miny = -90.0 + float(iy[0]) * h
-    return (minx, miny, minx + w, miny + h)
+    miny = float(fraction_to_lat(np.asarray(iy[0] / n)))
+    maxy = float(fraction_to_lat(np.asarray((iy[0] + 1) / n)))
+    return (minx, miny, minx + w, maxy)
+
+
+def cells_bounds(cells: np.ndarray) -> np.ndarray:
+    """Vectorized cell_bounds → (n, 4) array of (minx, miny, maxx, maxy)."""
+    ix, iy, res = cell_xy(np.asarray(cells))
+    n = (1 << res).astype(np.float64)
+    w = 360.0 / n
+    minx = -180.0 + ix * w
+    miny = fraction_to_lat(iy / n)
+    maxy = fraction_to_lat((iy + 1) / n)
+    return np.stack([minx, miny, minx + w, maxy], axis=1)

@@ -77,3 +77,75 @@ def clip_segments_to_polygons(line_segs: np.ndarray, polys: list) -> np.ndarray:
     for poly in polys:
         inside |= point_in_geom(mx, my, poly)
     return (cand[inside].astype(np.float64)) * 1e-9
+
+
+# ---------------------------------------------------------------------------
+# polygon ∩ axis-aligned rectangle area (zonal coverage-fraction weighting)
+# ---------------------------------------------------------------------------
+
+
+def _clip_half(pts: np.ndarray, axis: int, bound: float, keep_le: bool) -> np.ndarray:
+    """Sutherland–Hodgman clip of an OPEN ring against one half-plane,
+    vectorized (no per-vertex Python loop)."""
+    n = len(pts)
+    if n == 0:
+        return pts
+    vals = pts[:, axis]
+    inside = (vals <= bound) if keep_le else (vals >= bound)
+    p1 = np.roll(pts, -1, axis=0)
+    in1 = np.roll(inside, -1)
+    v1 = np.roll(vals, -1)
+    cross = inside != in1
+    denom = np.where(v1 - vals == 0.0, 1.0, v1 - vals)
+    t = np.where(cross, (bound - vals) / denom, 0.0)
+    ipts = pts + (p1 - pts) * t[:, None]
+    # per edge i: emit intersection (if crossing), then the next vertex (if inside)
+    counts = cross.astype(np.int64) + in1.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros((0, 2))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out = np.empty((total, 2))
+    out[starts[cross]] = ipts[cross]
+    out[starts[in1] + cross[in1].astype(np.int64)] = p1[in1]
+    return out
+
+
+def _ring_rect_signed_area(ring: np.ndarray, rect: tuple) -> float:
+    """Signed shoelace area of ring ∩ rect (ring closed, any orientation;
+    Sutherland–Hodgman is exact for convex clip windows)."""
+    pts = np.asarray(ring, dtype=np.float64)[:-1]  # drop closing vertex
+    minx, miny, maxx, maxy = rect
+    # fast paths: ring bbox fully inside / fully outside the rect
+    bx0, by0 = pts[:, 0].min(), pts[:, 1].min()
+    bx1, by1 = pts[:, 0].max(), pts[:, 1].max()
+    if bx1 < minx or bx0 > maxx or by1 < miny or by0 > maxy:
+        return 0.0
+    if not (bx0 >= minx and bx1 <= maxx and by0 >= miny and by1 <= maxy):
+        for axis, bound, keep_le in (
+            (0, minx, False), (0, maxx, True), (1, miny, False), (1, maxy, True),
+        ):
+            pts = _clip_half(pts, axis, bound, keep_le)
+            if len(pts) == 0:
+                return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def geom_rect_clip_area(geom, rect: tuple) -> float:
+    """Degree-space area of (Polygon|MultiPolygon) ∩ rect.
+
+    Shell contributes |clip area|, holes subtract — orientation-independent.
+    Powers the J9 zonal coverage-fraction weights (VERDICT r1 item 4): a
+    boundary raster cell contributes ``cell_value · area(cell ∩ block) /
+    area(cell)`` instead of the all-or-nothing center rule."""
+    gtype, data = geom
+    polys = [data] if gtype == "Polygon" else data
+    total = 0.0
+    for rings in polys:
+        if not rings:
+            continue
+        total += abs(_ring_rect_signed_area(rings[0], rect))
+        for hole in rings[1:]:
+            total -= abs(_ring_rect_signed_area(hole, rect))
+    return max(total, 0.0)

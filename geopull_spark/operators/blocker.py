@@ -22,10 +22,18 @@ Determinism fix vs the reference (documented, SURVEY.md W1): pandas
 ties by canonical WKB bytes so ``georank`` is reproducible under any
 partitioning.
 
-Scale note: one group = one region (matching reference semantics). For
-continental-scale regions the group key becomes (region, land_part) — land
-parts are disjoint after dissolve, so polygonize per part is semantically
-identical and restores intra-region parallelism.
+Round-2 scale rework (VERDICT r1 item 2): the group key is **(region,
+land_part)**, not region. Land parts are disjoint after the normalize
+dissolve, so clipping/noding/polygonizing per part is semantically identical
+to per-region (no segment crosses between disjoint parts; holes, overlap
+correction and residual add-back are all part-local) while a
+continental-scale region no longer serializes onto one Python worker. Lines
+are routed to parts by a broadcast bbox join (a line crossing several parts
+is clipped in each). The geohash→georank block-ID assignment
+(blocker.py:296-322) moved OUT of the kernel into a Spark window function
+(row_number over (region, geohash) ordered by canonical WKB), which is
+exactly the reference's cumcount-after-sort semantics computed region-wide —
+bit-identical block IDs regardless of the part split.
 """
 
 from __future__ import annotations
@@ -46,6 +54,26 @@ from ..kernels.overlay import normalize_geom, overlay as _overlay_op
 from ..kernels.pointops import representative_point
 from ..kernels.polygonize import extract_faces, geoms_to_segments, node_segments
 
+_BBOX_FIELDS = [
+    T.StructField("minx", T.DoubleType()),
+    T.StructField("miny", T.DoubleType()),
+    T.StructField("maxx", T.DoubleType()),
+    T.StructField("maxy", T.DoubleType()),
+]
+
+# kernel output: block geometry + geohash, pre block-ID (georank is a window)
+BLOCKS_PRE_SCHEMA = T.StructType(
+    [
+        T.StructField("region_code", T.StringType()),
+        T.StructField("geohash", T.StringType()),
+        T.StructField("geometry", T.BinaryType()),
+        T.StructField("area_m2", T.DoubleType()),
+        T.StructField("rep_lon", T.DoubleType()),
+        T.StructField("rep_lat", T.DoubleType()),
+    ]
+    + _BBOX_FIELDS
+)
+
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("region_code", T.StringType()),
@@ -55,6 +83,7 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("rep_lon", T.DoubleType()),
         T.StructField("rep_lat", T.DoubleType()),
     ]
+    + _BBOX_FIELDS
 )
 
 
@@ -133,15 +162,16 @@ def _remove_overlaps(blocks: list, areas: list, region: str,
 
 def _geohash_blocks(blocks: list, areas: list, region: str,
                     precision: int = 12) -> pd.DataFrame:
-    """blocker.py:296-322 with the deterministic tie order (W1 note)."""
+    """blocker.py:296-322 geohash + rep point + bbox; georank/block_id are
+    assigned downstream by a region-wide window (part-split invariant)."""
     if not blocks:
-        return pd.DataFrame(
-            columns=["region_code", "block_id", "geometry", "area_m2", "rep_lon", "rep_lat"]
-        )
+        return pd.DataFrame(columns=BLOCKS_PRE_SCHEMA.fieldNames())
     reps = np.array([representative_point(b[1]) for b in blocks])
     ghs = geohash_encode(reps[:, 1], reps[:, 0], precision)
-    wkbs = [_wkb.dumps(normalize_geom(b)) for b in blocks]
-    df = pd.DataFrame(
+    norm = [normalize_geom(b) for b in blocks]
+    wkbs = [_wkb.dumps(g) for g in norm]
+    bounds = np.array([_wkb.bounds(g) for g in norm])
+    return pd.DataFrame(
         {
             "region_code": region,
             "geohash": ghs,
@@ -149,21 +179,18 @@ def _geohash_blocks(blocks: list, areas: list, region: str,
             "area_m2": areas,
             "rep_lon": reps[:, 0],
             "rep_lat": reps[:, 1],
+            "minx": bounds[:, 0],
+            "miny": bounds[:, 1],
+            "maxx": bounds[:, 2],
+            "maxy": bounds[:, 3],
         }
     )
-    df = df.sort_values(
-        by=["geohash", "geometry"], ascending=[False, True], kind="mergesort"
-    ).reset_index(drop=True)
-    df["georank"] = df.groupby("geohash").cumcount()
-    df["block_id"] = (
-        df["region_code"] + "_" + df["geohash"] + "_" + df["georank"].astype(str)
-    )
-    return df[["region_code", "block_id", "geometry", "area_m2", "rep_lon", "rep_lat"]]
 
 
 def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+    """One kernel invocation per (region, land_part) group."""
     if len(land_pdf) == 0:
-        return pd.DataFrame(columns=BLOCKS_SCHEMA.fieldNames())
+        return pd.DataFrame(columns=BLOCKS_PRE_SCHEMA.fieldNames())
     region = land_pdf["region_code"].iloc[0]
     land_parts = []
     for buf in land_pdf["geometry"]:
@@ -223,10 +250,62 @@ def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFr
 
 
 def build_blocks(land: DataFrame, lines: DataFrame) -> DataFrame:
-    """land parts + extracted linestrings → blocks (one kernel per region)."""
-    return (
-        land.select("region_code", "geometry")
-        .groupBy("region_code")
-        .cogroup(lines.select("region_code", "geometry").groupBy("region_code"))
-        .applyInPandas(_block_cogroup, BLOCKS_SCHEMA)
+    """land parts + extracted linestrings → blocks.
+
+    One geometry kernel per (region, land_part): lines are routed to parts by
+    a broadcast bbox join (a part's bbox table is tiny — #parts rows), each
+    part polygonizes independently, then the block IDs are assigned by a
+    region-wide window (georank = cumcount within (region, geohash) ordered
+    by canonical WKB — the reference's sort+cumcount at blocker.py:296-322,
+    bit-identical to the r1 per-region kernel output)."""
+    from pyspark.sql import Window
+
+    from ..functions.geometry import st_bbox
+
+    land = land.select("region_code", "part_id", "geometry")
+    part_boxes = F.broadcast(
+        land.withColumn("_bb", st_bbox(F.col("geometry"))).select(
+            F.col("region_code").alias("p_region"),
+            F.col("part_id").alias("p_part"),
+            F.col("_bb.minx").alias("p_minx"),
+            F.col("_bb.miny").alias("p_miny"),
+            F.col("_bb.maxx").alias("p_maxx"),
+            F.col("_bb.maxy").alias("p_maxy"),
+        )
     )
+    lines_parts = (
+        lines.select("region_code", "geometry", "minx", "miny", "maxx", "maxy")
+        .join(part_boxes, F.col("region_code") == F.col("p_region"), "inner")
+        .filter(
+            (F.col("minx") <= F.col("p_maxx")) & (F.col("maxx") >= F.col("p_minx"))
+            & (F.col("miny") <= F.col("p_maxy")) & (F.col("maxy") >= F.col("p_miny"))
+        )
+        .select(
+            F.col("region_code").alias("l_region"),
+            F.col("p_part").alias("l_part"),
+            F.col("geometry").alias("l_geometry"),
+        )
+    )
+    pre = (
+        land.groupBy("region_code", "part_id")
+        .cogroup(lines_parts.groupBy("l_region", "l_part"))
+        .applyInPandas(_block_cogroup_adapter, BLOCKS_PRE_SCHEMA)
+    )
+    w = Window.partitionBy("region_code", "geohash").orderBy(F.col("geometry").asc())
+    return (
+        pre.withColumn("georank", F.row_number().over(w) - 1)
+        .withColumn(
+            "block_id",
+            F.concat_ws("_", "region_code", "geohash", F.col("georank").cast("string")),
+        )
+        .select(
+            "region_code", "block_id", "geometry", "area_m2", "rep_lon", "rep_lat",
+            "minx", "miny", "maxx", "maxy",
+        )
+    )
+
+
+def _block_cogroup_adapter(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+    if len(lines_pdf):
+        lines_pdf = lines_pdf.rename(columns={"l_geometry": "geometry"})
+    return _block_cogroup(land_pdf, lines_pdf)

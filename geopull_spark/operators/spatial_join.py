@@ -1,15 +1,29 @@
-"""Cell-key spatial joins: doc→block PIP assignment, kNN block adjacency.
+"""Cell-key spatial joins: doc→block PIP assignment, kNN, zonal rollup.
 
 The engine's replacement for the reference's R-tree ``gpd.sjoin``
 (``/root/reference/src/geopull/blocker.py:104``, ``normalizer.py:110``):
-geometries are exploded onto quadtree cells; the spatial theta-join becomes a
-cell equi-join (shuffle-hash / broadcast-hash, Catalyst's choice, AQE skew
-splitting on) followed by an exact vectorized refine kernel (J1/J2/J7/J8).
+geometries are exploded onto equal-area quadtree cells; the spatial
+theta-join becomes a cell equi-join followed by an exact vectorized refine
+kernel (J1/J2/J7/J8).
 
-Skew: dense regions concentrate docs on few cells. The block-cell index is
-salted (``salt = pmod(doc hash, SALT_K)`` replicated block side) when
-requested — explicit backstop on top of AQE skew-join (BASELINE.json
-north_star requirement).
+Round-2 layout (reworked from the r1 plan per VERDICT/ADVICE):
+
+* the block-cell index is **narrow** — (cell, cell_res, region_code,
+  block_id), no WKB. Geometry reaches the refine stage separately, covered at
+  the coarse PARENT_RES so each block's WKB crosses the shuffle once per
+  refine group, never per candidate.
+* every key derivation (point cell, bbox cover, parent cell) is a Catalyst
+  expression (``functions/cellexpr.py``) — zero Python stages outside the one
+  exact-PIP cogroup kernel.
+* cover resolution is adaptive per block: oversized geometries (a region with
+  no streets → one region-sized block) index at a coarser res instead of
+  raising (ADVICE r1 cover-cap fix); docs probe all resolutions present.
+* the boundary tie-break (min block_id) happens inside the refine kernel —
+  a doc's candidates all share one (pcell, salt) group, so no extra shuffle.
+
+Skew: dense regions concentrate docs on few cells. Both the join key and the
+refine group key are salted when requested — explicit backstop on top of AQE
+skew-join (BASELINE.json north_star requirement).
 """
 
 from __future__ import annotations
@@ -19,25 +33,45 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
-from ..functions.geometry import st_cell, st_contains_point, st_cover_cells, st_k_ring
+from ..functions import cellexpr
+from ..functions.geometry import st_bbox, st_cell, st_k_ring
 from ..kernels import cells as _cells
 
-INDEX_RES = 14  # ~0.022° tiles: ~45×45 per 1° region
+INDEX_RES = 14   # ~0.022° × equal-area tiles at the equator
+PARENT_RES = 10  # refine group granularity: ~0.35° tiles → hundreds of groups
+
+
+def _ensure_bbox(blocks: DataFrame) -> DataFrame:
+    """Blocks carry (minx,miny,maxx,maxy) from the blocker; compute via the
+    WKB kernel only for externally-sourced frames that lack them."""
+    if "minx" in blocks.columns:
+        return blocks
+    b = blocks.withColumn("_bb", st_bbox(F.col("geometry")))
+    return b.select(
+        "*",
+        F.col("_bb.minx").alias("minx"), F.col("_bb.miny").alias("miny"),
+        F.col("_bb.maxx").alias("maxx"), F.col("_bb.maxy").alias("maxy"),
+    ).drop("_bb")
 
 
 def build_block_cell_index(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
-    """blocks → one row per (covering cell, block). The explode is the
-    UDTF-style cell-covering (SURVEY.md §2.10)."""
-    return (
-        blocks.withColumn("cell", F.explode(st_cover_cells(F.col("geometry"), res)))
-        .select("cell", "region_code", "block_id", "geometry")
-    )
+    """blocks → one NARROW row per (covering cell, block): (cell, cell_res,
+    region_code, block_id). Pure JVM (bbox cover via sequence-explode);
+    adaptive per-row resolution for oversized bboxes."""
+    covered = cellexpr.with_cover_cells(_ensure_bbox(blocks), res)
+    return covered.select("cell", "cell_res", "region_code", "block_id")
+
+
+def index_res_list(block_cells: DataFrame) -> list[int]:
+    """Distinct cover resolutions present in an index (usually one; more when
+    adaptive lowering kicked in). Tiny metadata aggregate."""
+    return sorted(r["cell_res"] for r in block_cells.select("cell_res").distinct().collect())
 
 
 def docs_with_cell(docs: DataFrame, res: int = INDEX_RES) -> DataFrame:
-    return docs.withColumn("cell", st_cell(F.col("lon"), F.col("lat"), res))
+    """Point cell id, JVM-side (kept for single-res probes: streaming, tests)."""
+    return docs.withColumn("cell", cellexpr.cell_expr(F.col("lon"), F.col("lat"), res))
 
 
 _REFINE_SCHEMA = T.StructType(
@@ -49,14 +83,12 @@ _REFINE_SCHEMA = T.StructType(
     ]
 )
 
-PARENT_RES = 8  # refine group granularity: ~256 groups at 64 regions
-
 
 def _pip_refine_cogroup(cand: pd.DataFrame, geom: pd.DataFrame) -> pd.DataFrame:
     """Exact PIP refine for one parent-cell group: decode each block once,
-    test all its candidate points vectorized. Grouping at PARENT_RES keeps
-    group counts in the hundreds (per-block groups would mean 10^5+ pandas
-    invocations; per-candidate geometry shipping would dominate the shuffle)."""
+    test all its candidate points vectorized, then resolve boundary ties to
+    min(block_id) IN-KERNEL (all of a doc's candidates share this group, so
+    the old post-refine groupBy shuffle is unnecessary)."""
     if len(cand) == 0 or len(geom) == 0:
         return pd.DataFrame(columns=_REFINE_SCHEMA.fieldNames())
     from ..kernels import wkb as _wkb
@@ -74,44 +106,64 @@ def _pip_refine_cogroup(cand: pd.DataFrame, geom: pd.DataFrame) -> pd.DataFrame:
         if g is None:
             continue
         keep[idx] = point_in_geom(px[idx], py[idx], g)
-    return cand.loc[keep, ["doc_id", "lon", "lat", "block_id"]]
+    out = cand.loc[keep, ["doc_id", "lon", "lat", "block_id"]]
+    if len(out) and out["doc_id"].duplicated().any():
+        out = out.sort_values(["doc_id", "block_id"], kind="mergesort").drop_duplicates(
+            "doc_id", keep="first"
+        )
+    return out
 
 
 def assign_docs_to_blocks(
     docs: DataFrame,
-    block_cells: DataFrame,
+    blocks: DataFrame,
+    block_cells: DataFrame | None = None,
     salt_k: int = 0,
     broadcast_index: bool = False,
+    res: int = INDEX_RES,
 ) -> DataFrame:
-    """J7 doc→block point-in-polygon assignment.
+    """J7 doc→block point-in-polygon assignment (one row per assigned doc).
 
-    Equi-join on cell (+ salt when requested), exact PIP refine in one
-    Arrow-batched kernel, then a deterministic tie-break (min block_id) for
-    points exactly on a shared boundary. Default is a shuffle join on cell —
-    the cell index carries WKB geometry, so even modest block counts blow the
-    broadcast budget (measured: broadcast 3.8× slower at 24k blocks / 338k
-    index rows). Set broadcast_index=True only for small indexes; AQE picks
-    shuffle-hash vs sort-merge otherwise.
+    Plan: multi-res cell equi-join on the narrow index (+ salt when
+    requested) → cogrouped exact-PIP refine per PARENT_RES cell, where each
+    block's geometry crosses the shuffle once per refine group (not once per
+    candidate row) and the min-block_id boundary tie-break happens in-kernel.
+
+    Default is a shuffle join on cell; ``broadcast_index=True`` broadcasts the
+    narrow index (keys only — viable for modest block counts, unlike the r1
+    WKB-carrying index that measured 3.8× slower broadcast).
     """
-    d = docs_with_cell(docs)
-    # narrow index for the candidate join — shipping WKB per candidate row
-    # would dominate the shuffle (geometry is ~500B vs ~40B of keys)
+    blocks = _ensure_bbox(blocks)
+    if block_cells is None:
+        block_cells = build_block_cell_index(blocks, res)
+    res_list = index_res_list(block_cells)
+    if not res_list:
+        return docs.select("doc_id", "lon", "lat").limit(0).withColumn(
+            "block_id", F.lit(None).cast("string")
+        ).select("doc_id", "lon", "lat", "block_id")
+    d = docs.select("doc_id", "lon", "lat").withColumn(
+        "pcell", cellexpr.cell_expr(F.col("lon"), F.col("lat"), PARENT_RES)
+    )
+    if len(res_list) == 1:
+        d = d.withColumn("cell", cellexpr.cell_expr(F.col("lon"), F.col("lat"), res_list[0]))
+    else:
+        d = d.withColumn(
+            "cell", F.explode(cellexpr.cells_at_expr(F.col("lon"), F.col("lat"), res_list))
+        )
     bc_narrow = block_cells.select("cell", "block_id")
-    # geometry side keyed by coarse parent cell; renamed columns (both
-    # cogroup sides derive from block_cells → ambiguous-self-join check)
-    @pandas_udf(T.LongType())
-    def _parent(cell: pd.Series) -> pd.Series:
-        return pd.Series(_cells.cell_parent(cell.to_numpy(np.int64), PARENT_RES))
-
-    geom = (
-        block_cells.withColumn("g_pcell", _parent(F.col("cell")))
-        .select(
-            "g_pcell",
+    # geometry side keyed by FIXED-res parent cover of the block bbox (must
+    # match the probe-side pcell resolution exactly); renamed columns — both
+    # cogroup sides can share lineage → ambiguous-self-join check
+    geom = cellexpr.with_cover_cells(
+        blocks.select(
             F.col("block_id").alias("g_block_id"),
             F.col("geometry").alias("g_geometry"),
-        )
-        .dropDuplicates(["g_pcell", "g_block_id"])
-    )
+            "minx", "miny", "maxx", "maxy",
+        ),
+        PARENT_RES,
+        target=None,
+        out="g_pcell",
+    ).select("g_pcell", "g_block_id", "g_geometry")
     if salt_k > 1:
         # salt both phases: the join key AND the refine group key — a
         # cell-concentrated hot spot otherwise serializes the refine group
@@ -128,7 +180,7 @@ def assign_docs_to_blocks(
     else:
         join_keys = ["cell"]
     right = F.broadcast(bc_narrow) if broadcast_index else bc_narrow
-    cand = d.join(right, join_keys, "inner").withColumn("pcell", _parent(F.col("cell")))
+    cand = d.join(right, join_keys, "inner")
     if salt_k > 1:
         cand = cand.select("pcell", "salt", "doc_id", "lon", "lat", "block_id")
         refined = (
@@ -138,72 +190,116 @@ def assign_docs_to_blocks(
         )
     else:
         cand = cand.select("pcell", "doc_id", "lon", "lat", "block_id")
-        # cogrouped PIP refine per parent cell: each block's geometry crosses
-        # the shuffle once per parent group (not once per candidate row)
         refined = (
             cand.groupBy("pcell")
             .cogroup(geom.groupBy("g_pcell"))
             .applyInPandas(_pip_refine_cogroup, _REFINE_SCHEMA)
         )
-    # boundary points can hit 2 blocks → deterministic min block_id
-    return (
-        refined.groupBy("doc_id")
-        .agg(
-            F.min("block_id").alias("block_id"),
-            F.first("lon").alias("lon"),
-            F.first("lat").alias("lat"),
-        )
-    )
+    return refined
 
 
-def assign_docs_full(docs: DataFrame, block_cells: DataFrame, **kw) -> DataFrame:
+def assign_docs_full(
+    docs: DataFrame, blocks: DataFrame, block_cells: DataFrame | None = None, **kw
+) -> DataFrame:
     """Assignment carrying the full interleaved payload: the spans array rides
     the shuffle opaquely (span-sequence invariant checked in tests)."""
-    assigned = assign_docs_to_blocks(docs.select("doc_id", "lon", "lat"), block_cells, **kw)
+    assigned = assign_docs_to_blocks(
+        docs.select("doc_id", "lon", "lat"), blocks, block_cells, **kw
+    )
     return docs.join(assigned.select("doc_id", "block_id"), "doc_id", "left")
+
+
+# ---------------------------------------------------------------------------
+# zonal raster→vector (J9) — coverage-fraction weighting
+# ---------------------------------------------------------------------------
+
+_ZONAL_W_SCHEMA = T.StructType(
+    [
+        T.StructField("region_code", T.StringType()),
+        T.StructField("block_id", T.StringType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("weight", T.DoubleType()),
+    ]
+)
+
+
+def zonal_cell_weights(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
+    """(block, cell, weight) where weight = area(cell ∩ block)/area(cell) in
+    degree-space (cells are small, so the cos φ density is locally constant
+    and the ratio matches the ground-area ratio to first order).
+
+    One ``mapInPandas`` pass over blocks — no shuffle; each block emits its
+    covering cells with exact Sutherland–Hodgman clip fractions. Every block
+    appears (its bbox cover is non-empty and its area is positive), fixing
+    the r1 center-rule drop-out (VERDICT item 2)."""
+
+    def gen(batches):
+        from ..kernels import wkb as _wkb
+        from ..kernels.clip import geom_rect_clip_area
+
+        for pdf in batches:
+            out_region, out_block, out_cell, out_w = [], [], [], []
+            for region, bid, buf in zip(
+                pdf["region_code"], pdf["block_id"], pdf["geometry"]
+            ):
+                g = _wkb.loads(bytes(buf))
+                minx, miny, maxx, maxy = _wkb.bounds(g)
+                cover = _cells.cover_bbox(minx, miny, maxx, maxy, res, cap=262144)
+                bounds = _cells.cells_bounds(cover)
+                for cell, rect in zip(cover, bounds):
+                    rect_area = (rect[2] - rect[0]) * (rect[3] - rect[1])
+                    w = geom_rect_clip_area(g, tuple(rect)) / rect_area
+                    if w > 0.0:
+                        out_region.append(region)
+                        out_block.append(bid)
+                        out_cell.append(int(cell))
+                        out_w.append(min(w, 1.0))
+            yield pd.DataFrame(
+                {
+                    "region_code": out_region,
+                    "block_id": out_block,
+                    "cell": out_cell,
+                    "weight": out_w,
+                }
+            )
+
+    return blocks.select("region_code", "block_id", "geometry").mapInPandas(
+        gen, _ZONAL_W_SCHEMA
+    )
 
 
 def zonal_population(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
     """J9 zonal raster→vector join: a synthetic population raster keyed by
-    cell (value = deterministic f(cell)) aggregated per block.
+    cell (value = deterministic f(cell)) aggregated per block with
+    coverage-fraction weights (boundary cells contribute proportionally to
+    the covered area; interior cells weight 1).
 
-    Plan: block→cover-cells explode (the raster tiling join key) → cell-center
-    PIP refine (center-in-polygon zonal approximation) → hash-agg sum per
-    block. With a real raster the f(cell) literal becomes a raster-tile table
-    on the same cell key — same plan shape."""
-    @pandas_udf(T.StructType([
-        T.StructField("cx", T.DoubleType()), T.StructField("cy", T.DoubleType())
-    ]))
-    def cell_center(cell: pd.Series) -> pd.DataFrame:
-        ix, iy, r = _cells.cell_xy(cell.to_numpy(np.int64))
-        n = (1 << r).astype(np.float64)
-        return pd.DataFrame({
-            "cx": -180.0 + (ix + 0.5) * (360.0 / n),
-            "cy": -90.0 + (iy + 0.5) * (180.0 / n),
-        })
-
-    bc = build_block_cell_index(blocks, res)
-    bc = bc.withColumn("c", cell_center(F.col("cell")))
-    inside = bc.filter(
-        st_contains_point(F.col("geometry"), F.col("c.cx"), F.col("c.cy"))
-    )
-    # deterministic synthetic raster: population per cell
-    pop = (F.pmod(F.xxhash64(F.col("cell")), F.lit(1000)) + 1).alias("cell_pop")
+    With a real raster the f(cell) literal becomes a raster-tile table on the
+    same cell key — same plan shape. Conservation invariant (tested):
+    Σ_cells weight(block, cell) · area(cell) == area(block) per block."""
+    w = zonal_cell_weights(blocks, res)
+    pop = (F.pmod(F.xxhash64(F.col("cell")), F.lit(1000)) + 1).cast("double")
     return (
-        inside.withColumn("cell_pop", pop)
+        w.withColumn("cell_pop", pop)
         .groupBy("region_code", "block_id")
         .agg(
-            F.sum("cell_pop").alias("population"),
+            F.round(F.sum(F.col("cell_pop") * F.col("weight")), 6).alias("population"),
             F.count("*").alias("n_cells"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN (J8)
+# ---------------------------------------------------------------------------
 
 
 def knn_points(pts: DataFrame, k: int = 3, res: int = 7,
                id_col: str = "doc_id") -> DataFrame:
     """J8 on raw points: k nearest neighbors via k-ring cell-key join +
     row_number window. Exact whenever the true k-th neighbor lies within one
-    cell width (guaranteed here: res 7 cells span ~2.8°, regions span 1°).
+    cell width (guaranteed here: res 7 cells span ~2.8° lon × ~0.9° lat near
+    the equator, regions span 1°).
 
     ``pts`` carries (id_col, lon, lat). Deterministic ties: (dist2, id)."""
     from pyspark.sql import Window
@@ -234,7 +330,8 @@ def knn_points(pts: DataFrame, k: int = 3, res: int = 7,
 
 def knn_blocks(blocks: DataFrame, k: int = 4, res: int = 12) -> DataFrame:
     """J8: k nearest blocks per block via k-ring cell expansion + exact
-    rep-point distance + row_number window."""
+    rep-point distance + row_number window (approximate beyond one cell
+    width — rows-only check; knn_points is the oracle-exact variant)."""
     from pyspark.sql import Window
 
     pts = blocks.select(

@@ -57,7 +57,7 @@ def run_pipeline(
 
     docs = synth.interleaved_documents(spark, sf_dir)
     block_cells = spatial_join.build_block_cell_index(blocks)
-    assigned = spatial_join.assign_docs_full(docs, block_cells)
+    assigned = spatial_join.assign_docs_full(docs, blocks, block_cells)
     if use_manifest:
         fp_docs = f"{fp_world}|docs:{sf_dir}"
         t_asg = SnapshotTable(os.path.join(warehouse, "doc_blocks"))

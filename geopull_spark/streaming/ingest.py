@@ -3,10 +3,18 @@
 The reference is batch-only (SURVEY.md §2.9) — its "incremental" behavior is
 the skip-if-exists cache. Our engine adds the streaming path a production
 doc pipeline needs: new interleaved-doc files land continuously; each
-micro-batch is cell-indexed, joined against the static block-cell index
-(stream-static join — no state store needed for the join itself), PIP-refined
-and appended to the assignment table. Watermarked tumbling-window counts per
-block give the monitoring rollup.
+micro-batch is cell-indexed, joined against the static narrow block-cell
+index (stream-static join — no state store needed for the join itself),
+PIP-refined and appended to the assignment table.
+
+Boundary determinism (ADVICE r1): a doc on a shared block boundary matches
+two blocks in the raw stream-static join. Both sinks resolve it to the batch
+path's min(block_id) tie-break — ``run_assign_stream`` dedups per micro-batch
+inside ``foreachBatch`` (writing each batch to its own partition directory,
+idempotent on retry), and ``windowed_block_counts`` chains a per-(window,
+doc) min aggregation before the per-block count (multiple stateful operators,
+Spark 3.5+). Stream output therefore matches ``assign_docs_to_blocks`` row
+for row.
 
 ``Trigger.AvailableNow`` drains the backlog batch-style and checkpoints —
 resume is exactly-once on top of the same snapshot-manifest warehouse.
@@ -18,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.spatial_join import INDEX_RES, st_cell, st_contains_point
+from ..functions import cellexpr
+from ..functions.geometry import st_contains_point
+from ..operators.spatial_join import INDEX_RES, build_block_cell_index, index_res_list
 
 DOC_STREAM_SCHEMA = T.StructType(
     [
@@ -38,31 +48,67 @@ def read_doc_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def assign_stream(doc_stream: DataFrame, block_cells: DataFrame,
+def assign_stream(doc_stream: DataFrame, blocks: DataFrame,
+                  block_cells: DataFrame | None = None,
                   res: int = INDEX_RES) -> DataFrame:
-    """Stream-static join: cell equi-join against the static block-cell index
-    + exact PIP refine, per micro-batch. Deterministic boundary tie-break via
-    min(block_id) inside the batch group."""
-    d = doc_stream.withColumn("cell", st_cell(F.col("lon"), F.col("lat"), res))
-    joined = d.join(block_cells, "cell", "inner")
+    """Stream-static join: multi-res cell equi-join against the static narrow
+    index + geometry lookup by block_id + exact PIP refine, per micro-batch.
+
+    Emits one row per (doc, containing block) — boundary docs can emit two;
+    the sinks dedup (see module docstring)."""
+    if block_cells is None:
+        block_cells = build_block_cell_index(blocks, res)
+    res_list = index_res_list(block_cells) or [res]
+    if len(res_list) == 1:
+        d = doc_stream.withColumn(
+            "cell", cellexpr.cell_expr(F.col("lon"), F.col("lat"), res_list[0])
+        )
+    else:
+        d = doc_stream.withColumn(
+            "cell", F.explode(cellexpr.cells_at_expr(F.col("lon"), F.col("lat"), res_list))
+        )
+    idx_geo = block_cells.select("cell", "region_code", "block_id").join(
+        blocks.select(F.col("block_id"), F.col("geometry")), "block_id"
+    )
+    joined = d.join(idx_geo, "cell", "inner")
     refined = joined.filter(
         st_contains_point(F.col("geometry"), F.col("lon"), F.col("lat"))
     )
     return refined.select("doc_id", "block_id", "region_code", "lon", "lat", "event_ts")
 
 
+def _dedup_batch(batch: DataFrame) -> DataFrame:
+    """min(block_id) per doc — the batch path's boundary tie-break."""
+    picked = F.min(
+        F.struct("block_id", "region_code", "lon", "lat", "event_ts")
+    ).alias("p")
+    return batch.groupBy("doc_id").agg(picked).select(
+        "doc_id", "p.block_id", "p.region_code", "p.lon", "p.lat", "p.event_ts"
+    )
+
+
 def run_assign_stream(
     spark: SparkSession,
     input_dir: str,
-    block_cells: DataFrame,
+    blocks: DataFrame,
     output_dir: str,
     checkpoint_dir: str,
+    block_cells: DataFrame | None = None,
 ) -> None:
-    """Drain the current backlog with AvailableNow (checkpointed, resumable)."""
-    out = assign_stream(read_doc_stream(spark, input_dir), block_cells)
+    """Drain the current backlog with AvailableNow (checkpointed, resumable).
+
+    ``foreachBatch`` dedups boundary docs per micro-batch and writes each
+    batch to its own partition directory with overwrite — idempotent if a
+    batch is retried after a crash (same batch_id → same directory)."""
+    out = assign_stream(read_doc_stream(spark, input_dir), blocks, block_cells)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        _dedup_batch(batch).write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
     q = (
-        out.writeStream.format("parquet")
-        .option("path", output_dir)
+        out.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -70,14 +116,21 @@ def run_assign_stream(
     q.awaitTermination()
 
 
-def windowed_block_counts(doc_stream: DataFrame, block_cells: DataFrame,
+def windowed_block_counts(doc_stream: DataFrame, blocks: DataFrame,
+                          block_cells: DataFrame | None = None,
                           window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window docs-per-block rollup (late data beyond the
-    watermark is dropped; state is bounded)."""
-    assigned = assign_stream(doc_stream, block_cells)
-    return (
+    watermark is dropped; state is bounded). Chained stateful aggregation:
+    per-(window, doc) min-block dedup feeds the per-(window, block) count, so
+    boundary docs are not double-counted (stream/batch parity)."""
+    assigned = assign_stream(doc_stream, blocks, block_cells)
+    dedup = (
         assigned.withWatermark("event_ts", watermark)
-        .groupBy(F.window("event_ts", window).alias("w"), F.col("block_id"))
+        .groupBy(F.window("event_ts", window).alias("w"), F.col("doc_id"))
+        .agg(F.min("block_id").alias("block_id"))
+    )
+    return (
+        dedup.groupBy("w", "block_id")
         .agg(F.count("*").alias("n_docs"))
         .select(
             F.col("w.start").alias("window_start"),

@@ -303,3 +303,32 @@ def test_normalize_deterministic():
     g2 = overlay.normalize_geom(wkb.loads(wkb.polygon(list(reversed(ring)))))
     assert wkb.dumps(g1) == wkb.dumps(g2)
     assert tuple(g1[1][0][0]) == (0.0, 0.0)  # starts at lexicographic min
+
+
+def test_cells_equal_area_across_latitudes():
+    """Lambert (lon × sin lat) quantization: spherical cell area is constant —
+    ground-area max/min ratio ≈ 1 across ±60° (VERDICT r1 item 5 asks < 2)."""
+    areas = []
+    for la in [-60.0, -45.0, -20.0, 0.0, 33.3, 59.9]:
+        c = int(cells.cell_id(np.array([17.0]), np.array([la]), 9)[0])
+        minx, miny, maxx, maxy = cells.cell_bounds(c)
+        areas.append((maxx - minx) * (np.sin(np.radians(maxy)) - np.sin(np.radians(miny))))
+    assert max(areas) / min(areas) < 1.0001
+
+
+def test_rect_clip_area_cases():
+    """Sutherland–Hodgman polygon ∩ rect area: interior, straddling, hole."""
+    from geopull_spark.kernels.clip import geom_rect_clip_area
+
+    sq = ("Polygon", [np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)])
+    assert geom_rect_clip_area(sq, (1, 1, 2, 2)) == pytest.approx(1.0)      # rect inside
+    assert geom_rect_clip_area(sq, (3, 3, 5, 5)) == pytest.approx(1.0)      # corner overlap
+    assert geom_rect_clip_area(sq, (-2, -2, -1, -1)) == pytest.approx(0.0)  # outside
+    assert geom_rect_clip_area(sq, (-1, -1, 5, 5)) == pytest.approx(16.0)   # poly inside rect
+    donut = ("Polygon", [
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+        np.array([[1, 1], [1, 3], [3, 3], [3, 1], [1, 1]], float),  # CW hole
+    ])
+    assert geom_rect_clip_area(donut, (0, 0, 4, 4)) == pytest.approx(12.0)
+    assert geom_rect_clip_area(donut, (1, 1, 3, 3)) == pytest.approx(0.0)   # rect == hole
+    assert geom_rect_clip_area(donut, (0, 0, 2, 2)) == pytest.approx(3.0)   # quarter w/ hole bite

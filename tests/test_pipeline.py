@@ -141,7 +141,7 @@ def test_doc_assignment_and_span_invariant(spark, world):
     media_ref, order) preserved through the shuffle-join."""
     docs = synth.interleaved_documents(spark, SF).cache()
     bc = spatial_join.build_block_cell_index(world["blocks"])
-    out = spatial_join.assign_docs_full(docs, bc).cache()
+    out = spatial_join.assign_docs_full(docs, world["blocks"], bc).cache()
     assert out.count() == docs.count()  # left join keeps every doc
     assigned = out.filter(F.col("block_id").isNotNull())
     assert assigned.count() > 0.8 * docs.count()  # most docs are on land
@@ -165,7 +165,9 @@ def test_doc_assignment_pip_exact(spark, world):
     """Every assigned doc point is actually inside its block polygon."""
     docs = synth.interleaved_documents(spark, SF)
     bc = spatial_join.build_block_cell_index(world["blocks"])
-    out = spatial_join.assign_docs_to_blocks(docs.select("doc_id", "lon", "lat"), bc)
+    out = spatial_join.assign_docs_to_blocks(
+        docs.select("doc_id", "lon", "lat"), world["blocks"], bc
+    )
     geom = {r["block_id"]: bytes(r["geometry"]) for r in world["blocks"].collect()}
     from geopull_spark.kernels.pointops import point_in_geom
 

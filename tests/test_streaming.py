@@ -20,13 +20,12 @@ def spark():
 
 
 @pytest.fixture(scope="module")
-def block_cells(spark):
+def blocks(spark):
     ways = synth.gen_osm_ways(spark, streets_per_region=25)
     land = normalize.normalize_land(
         extract.extract_admin(ways), extract.extract_water(ways), synth.gen_coastline(spark)
     )
-    blocks = blocker.build_blocks(land, extract.extract_linestrings(ways))
-    return spatial_join.build_block_cell_index(blocks).cache()
+    return blocker.build_blocks(land, extract.extract_linestrings(ways)).cache()
 
 
 def _doc_batch(spark, lo, hi):
@@ -40,20 +39,20 @@ def _doc_batch(spark, lo, hi):
     )
 
 
-def test_stream_matches_batch_and_resumes(spark, block_cells, tmp_path):
+def test_stream_matches_batch_and_resumes(spark, blocks, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(in_dir, exist_ok=True)
 
     _doc_batch(spark, 0, 200).write.mode("append").parquet(in_dir)
-    ingest.run_assign_stream(spark, in_dir, block_cells, out_dir, ckpt)
+    ingest.run_assign_stream(spark, in_dir, blocks, out_dir, ckpt)
     n1 = spark.read.parquet(out_dir).count()
     assert n1 > 0
 
     # batch ground truth for the same rows
     batch = spatial_join.assign_docs_to_blocks(
-        _doc_batch(spark, 0, 200).select("doc_id", "lon", "lat"), block_cells
+        _doc_batch(spark, 0, 200).select("doc_id", "lon", "lat"), blocks
     )
     stream_rows = {
         (r["doc_id"], r["block_id"])
@@ -64,18 +63,18 @@ def test_stream_matches_batch_and_resumes(spark, block_cells, tmp_path):
 
     # resume: append a second file batch; only new docs get processed
     _doc_batch(spark, 200, 300).write.mode("append").parquet(in_dir)
-    ingest.run_assign_stream(spark, in_dir, block_cells, out_dir, ckpt)
+    ingest.run_assign_stream(spark, in_dir, blocks, out_dir, ckpt)
     out = spark.read.parquet(out_dir)
     assert out.count() > n1
     assert out.select("doc_id").distinct().count() == out.count()  # no re-processing
 
 
-def test_windowed_counts(spark, block_cells, tmp_path):
+def test_windowed_counts(spark, blocks, tmp_path):
     in_dir = str(tmp_path / "in2")
     os.makedirs(in_dir, exist_ok=True)
     _doc_batch(spark, 0, 150).write.mode("append").parquet(in_dir)
     stream = ingest.read_doc_stream(spark, in_dir)
-    counts = ingest.windowed_block_counts(stream, block_cells)
+    counts = ingest.windowed_block_counts(stream, blocks)
     q = (
         counts.writeStream.format("memory")
         .queryName("wincounts")
@@ -89,7 +88,7 @@ def test_windowed_counts(spark, block_cells, tmp_path):
     # batch) — validate via complete-mode semantics instead: run the same agg
     # in batch and check the rollup is consistent
     batch_counts = (
-        ingest.assign_stream(_doc_batch(spark, 0, 150), block_cells)
+        ingest.assign_stream(_doc_batch(spark, 0, 150), blocks)
         .groupBy("block_id").agg(F.count("*").alias("n_docs"))
     )
     total = batch_counts.agg(F.sum("n_docs")).head()[0]
