@@ -372,9 +372,23 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token count + chars/4 estimate (oracle-checked; the BPE-ish
+    regex column needs lookarounds DuckDB's RE2 lacks → separate rows-only
+    query q_token_bpe)."""
     from geopull_spark.operators.text import token_count
 
-    return token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return token_count(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "ws_tokens", "chars_div4"
+    )
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate (JVM regex with lookarounds — rows-only)."""
+    from geopull_spark.operators.text import token_count
+
+    return token_count(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "bpe_ish_tokens"
+    )
 
 
 def q_zonal_population(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,11 +458,38 @@ def q_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact mode → DuckDB oracle)."""
+    """Embedding-cosine near-dup pairs — EXPLICIT exact mode, used only for
+    this small-sf DuckDB oracle check (the operator's default is LSH-banded
+    candidates; the crossJoin is quarantined behind method="exact")."""
+    from geopull_spark.operators.similarity import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(e, threshold=0.25, method="exact")
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default scale path: LSH-banded candidate pairs (subset of exact —
+    recall-checked in tests; rows-only here since band hashes are
+    engine-specific)."""
     from geopull_spark.operators.similarity import embedding_neardup_pairs
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_neardup_pairs(e, threshold=0.25)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-lite ANN: kmeans-lite centroids → inverted-list equi-join →
+    exact cosine refine (rows-only; recall checked in tests)."""
+    from geopull_spark.operators.similarity import ivf_cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.head()["embedding"])
+    queries_df = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivf_cosine_topk(
+        e.filter(F.col("vec_id") >= 3), queries_df, dim=dim, k=5
+    ).select("q_id", "vec_id", "rk", F.round("cos_sim", 4).alias("cos_sim"))
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,6 +535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
+    "token_bpe": q_token_bpe,
     "zonal_population": q_zonal_population,
     "ann_lsh": q_ann_lsh,
     "media_features": q_media_features,
@@ -501,6 +543,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_aggs": q_scalar_aggs,
     "knn_docs": q_knn_docs,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "ann_ivf": q_ann_ivf,
 }
 
 
@@ -677,6 +721,12 @@ def oracle_sql() -> dict[str, str]:
                        6) AS cos_sim
               FROM v a JOIN v b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.25
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4
+            FROM documents
         """,
         "knn_docs": """
             WITH pts AS (

@@ -39,15 +39,30 @@ class WKBError(ValueError):
     pass
 
 
+_EWKB_SRID = 0x20000000
+_EWKB_ZM = 0x80000000 | 0x40000000  # Z | M dimension flags
+
+
 def _read_header(buf: bytes, pos: int) -> tuple[str, str, int]:
     byte_order = buf[pos]
     endian = "<" if byte_order == 1 else ">"
     (code,) = struct.unpack_from(endian + "I", buf, pos + 1)
-    code = code & 0xFF  # strip SRID/Z flags (2.5D not supported)
+    pos += 5
+    # EWKB: high bits flag extra dims / an SRID payload. Z/M coordinates
+    # would silently misparse the coord stream → reject explicitly; an SRID
+    # flag just means 4 extra header bytes to skip (ADVICE r1: previously the
+    # flag was masked but the payload not skipped — garbage coordinates).
+    if code & _EWKB_ZM:
+        raise WKBError(f"EWKB Z/M geometry not supported (code {code:#x})")
+    if code & _EWKB_SRID:
+        pos += 4  # skip the SRID value; coordinates are 2-D and parse fine
+        code &= ~_EWKB_SRID
+    if code >= 1000:  # ISO 1001+/2001+/3001+ are Z/M/ZM variants
+        raise WKBError(f"ISO WKB Z/M geometry not supported (code {code})")
     gtype = _CODE_TYPES.get(code)
     if gtype is None:
         raise WKBError(f"unsupported WKB type code {code}")
-    return gtype, endian, pos + 5
+    return gtype, endian, pos
 
 
 def _parse(buf: bytes, pos: int):

@@ -32,21 +32,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingles(text_col: str, width: int = 8, stride: int = 4):
-    """Character shingles as xxhash64 values (native transform/sequence)."""
-    return F.expr(
-        f"transform(sequence(0, greatest(int((length({text_col}) - {width}) / {stride}), 0)),"
-        f" i -> xxhash64(substr({text_col}, i * {stride} + 1, {width})))"
-    )
-
-
 def minhash_signature(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
                       id_col: str = "doc_id") -> DataFrame:
     """Per-band MinHash via the linear-time rolling-hash kernel (pandas UDF).
 
-    The native-SQL shingle variant (``_shingles``) is O(n²) in text length
-    because ``substr`` re-scans the UTF8 string per gram — kept only for the
-    short-text oracle queries."""
+    A native-SQL shingle variant (transform/sequence over ``substr``) would
+    be O(n²) in text length because Spark's ``substr`` re-scans the UTF8
+    string per gram (measured r1) — hence the numpy kernel."""
     from ..kernels.texthash import minhash_bands
 
     @pandas_udf(T.ArrayType(T.LongType()))

@@ -332,3 +332,22 @@ def test_rect_clip_area_cases():
     assert geom_rect_clip_area(donut, (0, 0, 4, 4)) == pytest.approx(12.0)
     assert geom_rect_clip_area(donut, (1, 1, 3, 3)) == pytest.approx(0.0)   # rect == hole
     assert geom_rect_clip_area(donut, (0, 0, 2, 2)) == pytest.approx(3.0)   # quarter w/ hole bite
+
+
+def test_wkb_ewkb_srid_and_z_handling():
+    """EWKB SRID payload is skipped (coords parse correctly); Z/M geometries
+    are rejected explicitly instead of misparsing."""
+    import struct
+
+    # hand-built EWKB point: little endian, type=1 | SRID flag, srid=4326
+    ewkb = b"\x01" + struct.pack("<I", 1 | 0x20000000) + struct.pack("<I", 4326)
+    ewkb += struct.pack("<dd", 3.0, 4.0)
+    g = wkb.loads(ewkb)
+    assert g[0] == "Point" and tuple(g[1]) == (3.0, 4.0)
+
+    zwkb = b"\x01" + struct.pack("<I", 1 | 0x80000000) + struct.pack("<ddd", 1, 2, 3)
+    with pytest.raises(wkb.WKBError):
+        wkb.loads(zwkb)
+    iso_z = b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", 1, 2, 3)
+    with pytest.raises(wkb.WKBError):
+        wkb.loads(iso_z)
