@@ -492,6 +492,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "rk", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_registry_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 on the engine's own dimension table: doc counts per region enriched
+    with the region registry (broadcast; reference COUNTRYMAP analog,
+    geofile.py:34-45). Oracle inlines the same registry rows as VALUES."""
+    from geopull_spark.sources.registry import enrich_with_registry, region_registry
+    from geopull_spark.sources.synth import interleaved_documents
+
+    docs = interleaved_documents(spark, sf_dir)
+    counts = docs.groupBy("region_code").agg(F.count("*").alias("n_docs"))
+    reg = region_registry(spark)
+    return enrich_with_registry(counts, reg).select(
+        "region_code", "region_name", "continent", "n_docs"
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: spans → media bytes → decode-stub → features."""
     from geopull_spark.operators.multimodal import (
@@ -538,6 +553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_bpe": q_token_bpe,
     "zonal_population": q_zonal_population,
     "ann_lsh": q_ann_lsh,
+    "registry_join": q_registry_join,
     "media_features": q_media_features,
     "event_window": q_event_window,
     "scalar_aggs": q_scalar_aggs,
@@ -721,6 +737,18 @@ def oracle_sql() -> dict[str, str]:
                        6) AS cos_sim
               FROM v a JOIN v b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.25
+        """,
+        "registry_join": """
+            WITH reg(region_code, region_name, continent) AS (
+              VALUES ('AAA', 'Region AAA', 'Synthetic'),
+                     ('BBB', 'Region BBB', 'Synthetic'),
+                     ('CCC', 'Region CCC', 'Synthetic')),
+            counts AS (
+              SELECT CASE doc_id % 3 WHEN 0 THEN 'AAA' WHEN 1 THEN 'BBB' ELSE 'CCC' END AS region_code,
+                     count(*) AS n_docs
+              FROM documents GROUP BY 1)
+            SELECT c.region_code, r.region_name, r.continent, c.n_docs
+            FROM counts c LEFT JOIN reg r USING (region_code)
         """,
         "token_count": """
             SELECT doc_id,

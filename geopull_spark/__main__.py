@@ -1,6 +1,7 @@
 """CLI mirroring the reference's entry points
-(``/root/reference/src/geopull/__main__.py:33-76``: download / extract /
-normalize / block) plus this engine's additions (assign / pipeline / bench).
+(``/root/reference/src/geopull/__main__.py:33-76``: download / export /
+extract / normalize / block / version) plus this engine's additions
+(assign / pipeline).
 
     python -m geopull_spark generate  --warehouse /tmp/wh --regions 3 --streets 60
     python -m geopull_spark extract   --warehouse /tmp/wh
@@ -8,6 +9,10 @@ normalize / block) plus this engine's additions (assign / pipeline / bench).
     python -m geopull_spark block     --warehouse /tmp/wh
     python -m geopull_spark assign    --warehouse /tmp/wh --sf-dir /root/testdata/sf0.001
     python -m geopull_spark pipeline  --warehouse /tmp/wh   # all stages, resumable
+    python -m geopull_spark export    --warehouse /tmp/wh --include-tags highway=primary \
+                                      --attributes highway --geometry-type linestring \
+                                      --output /tmp/primaries --format geojson
+    python -m geopull_spark version
 
 ``download`` is aliased to ``generate`` (no external data in this sandbox —
 the synthetic world replaces the Geofabrik fetch, SURVEY.md S1/S2).
@@ -36,7 +41,23 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("assign")
     common(sp)
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    # reference export subcommand (__main__.py:48-52, args :178-200):
+    # user-specified attributes / osmium-style tag filters / geometry type
+    sp = sub.add_parser("export")
+    common(sp)
+    sp.add_argument("--attributes", nargs="+", default=[])
+    sp.add_argument("--include-tags", nargs="+", default=[])
+    sp.add_argument("--geometry-type", choices=["point", "linestring", "polygon"], default=None)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--format", choices=["geojson", "parquet"], default="geojson")
+    sub.add_parser("version")  # reference __main__.py:71-74
     args = p.parse_args(argv)
+
+    from geopull_spark import __version__
+
+    if args.cmd == "version":
+        print(__version__)
+        return 0
 
     from pyspark.sql import functions as F
 
@@ -49,8 +70,6 @@ def main(argv: list[str] | None = None) -> int:
     wh = args.warehouse
     # engine version in the fingerprint (matches plans/pipeline.py): kernel
     # changes must invalidate cached snapshots, not serve stale results
-    from geopull_spark import __version__
-
     fp = f"synth:v1:streets={args.streets}:regions={args.regions}:engine={__version__}"
 
     def t(name: str) -> SnapshotTable:
@@ -62,8 +81,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"osm_ways snapshot {m['snapshot_id']}: {m['row_count']} rows")
         if args.cmd != "pipeline":
             return 0
-    if args.cmd in ("extract", "normalize", "block", "pipeline"):
+    if args.cmd in ("extract", "normalize", "block", "pipeline", "export"):
         ways = t("osm_ways").read(spark)
+    if args.cmd == "export":
+        out = extract.export_ways(
+            ways, args.attributes, args.include_tags, args.geometry_type
+        )
+        if args.format == "geojson":
+            from .sources.geojson import write_geojson
+
+            write_geojson(out, args.output, properties=["way_id", "region_code"] + args.attributes)
+        else:
+            out.write.mode("overwrite").parquet(args.output)
+        print(f"exported {spark.read.format('text' if args.format == 'geojson' else 'parquet').load(args.output).count()} features to {args.output}")
+        return 0
     if args.cmd == "extract":
         for name, df in [
             ("admin", extract.extract_admin(ways)),

@@ -63,6 +63,39 @@ def extract_linestrings(osm_ways: DataFrame) -> DataFrame:
     )
 
 
+def export_ways(
+    osm_ways: DataFrame,
+    attributes: list[str] | None = None,
+    include_tags: list[str] | None = None,
+    geometry_type: str | None = None,
+) -> DataFrame:
+    """Parameterized export — the generic ``osmium export`` analog
+    (reference CLI ``export`` subcommand, ``__main__.py:48-52``, args at
+    ``:178-200``): user-chosen tag filters, attribute lifting and geometry-
+    type selection, all pushed into the Catalyst plan.
+
+    ``include_tags`` uses the osmium tags-filter shapes ``key`` (present) and
+    ``key=value`` (equals); multiple entries OR together. ``attributes``
+    lifts tag values into top-level columns. ``geometry_type`` keeps one of
+    point/linestring/polygon."""
+    df = osm_ways
+    if geometry_type:
+        df = df.filter(F.col("geom_type") == geometry_type.lower())
+    if include_tags:
+        pred = F.lit(False)
+        for spec in include_tags:
+            if "=" in spec:
+                key, val = spec.split("=", 1)
+                pred = pred | (_has(key) & (_tag(key) == val))
+            else:
+                pred = pred | _has(spec)
+        df = df.filter(pred)
+    cols = ["way_id", "region_code", "geom_type", "geometry",
+            "minx", "miny", "maxx", "maxy"]
+    lifted = [_tag(a).alias(a) for a in (attributes or [])]
+    return df.select(*cols, *lifted)
+
+
 def extract_water(osm_ways: DataFrame) -> DataFrame:
     """Water polygons (extractor.py:103-130): natural=water or any
     water-ish key present."""

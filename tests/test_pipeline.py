@@ -204,3 +204,67 @@ def test_manifest_time_travel(spark, tmp_path):
     assert t.read_at(spark, m1["snapshot_id"]).count() == 3
     hist = t.history()
     assert [h["snapshot_id"] for h in hist] == [m2["snapshot_id"], m1["snapshot_id"]]
+
+
+def test_geojson_roundtrip(spark, world, tmp_path):
+    """S4: write blocks as ndjson GeoJSON, read back, WKB-identical."""
+    from geopull_spark.sources.geojson import read_geojson, write_geojson
+
+    blocks = world["blocks"]
+    out = str(tmp_path / "gj")
+    write_geojson(blocks.select("region_code", "block_id", "geometry"), out,
+                  properties=["region_code", "block_id"])
+    back = read_geojson(spark, out)
+    a = {r["block_id"]: bytes(r["geometry"]).hex()
+         for r in blocks.select("block_id", "geometry").collect()}
+    b = {r["properties"]["block_id"]: bytes(r["geometry"]).hex()
+         for r in back.collect()}
+    assert a == b
+    # bbox columns populated and sane
+    bad = back.filter((F.col("minx") > F.col("maxx")) | (F.col("miny") > F.col("maxy")))
+    assert bad.count() == 0
+
+
+def test_registry_enrich(spark):
+    from geopull_spark.sources.registry import enrich_with_registry, region_registry
+    from geopull_spark.sources import synth as s2
+
+    reg = region_registry(spark)
+    assert reg.count() >= 70
+    assert reg.select("region_code").distinct().count() == reg.count()
+    docs = s2.interleaved_documents(spark, SF).groupBy("region_code").count()
+    out = enrich_with_registry(docs, reg)
+    rows = {r["region_code"]: r["continent"] for r in out.collect()}
+    assert rows == {"AAA": "Synthetic", "BBB": "Synthetic", "CCC": "Synthetic"}
+    # broadcast side is the registry (fact side does not shuffle)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cli_export_and_version(spark, tmp_path, capsys):
+    from geopull_spark.__main__ import main
+
+    assert main(["version"]) == 0
+    wh = str(tmp_path / "wh")
+    assert main(["generate", "--warehouse", wh, "--streets", "12", "--cpus", "4"]) == 0
+    out = str(tmp_path / "exp")
+    assert main([
+        "export", "--warehouse", wh, "--cpus", "4",
+        "--include-tags", "highway=primary", "--attributes", "highway",
+        "--geometry-type", "linestring", "--output", out, "--format", "geojson",
+    ]) == 0
+    from geopull_spark.sources.geojson import read_geojson
+
+    feats = read_geojson(spark, out)
+    rows = feats.collect()
+    assert len(rows) > 0
+    assert all(r["properties"]["highway"] == "primary" for r in rows)
+    assert all(r["geom_type"] == "LineString" for r in rows)
+    # parquet format too
+    out2 = str(tmp_path / "exp2")
+    assert main([
+        "export", "--warehouse", wh, "--cpus", "4",
+        "--include-tags", "railway", "--output", out2, "--format", "parquet",
+    ]) == 0
+    pq = spark.read.parquet(out2)
+    assert pq.count() > 0
