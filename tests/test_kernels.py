@@ -351,3 +351,56 @@ def test_wkb_ewkb_srid_and_z_handling():
     iso_z = b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", 1, 2, 3)
     with pytest.raises(wkb.WKBError):
         wkb.loads(iso_z)
+
+
+def _poly_area(polys):
+    from geopull_spark.kernels.area import ring_signed_area
+
+    tot = 0.0
+    for g in polys:
+        assert g[0] == "Polygon"
+        tot += abs(ring_signed_area(np.asarray(g[1][0])))
+        for h in g[1][1:]:
+            tot -= abs(ring_signed_area(np.asarray(h)))
+    return tot
+
+
+def test_make_valid_multi_crossing_zigzag():
+    """Ring crossing itself twice: 8x4 band minus two dip triangles = 24."""
+    zig = ("Polygon", [np.array(
+        [[0, 0], [2, 2], [4, 0], [6, 2], [8, 0], [8, 4], [0, 4], [0, 0]], float)])
+    out = overlay.make_valid(zig)
+    assert _poly_area(out) == pytest.approx(24.0)
+
+
+def test_make_valid_bowtie_with_hole():
+    """Bow-tie whose left lobe strictly contains a hole: two lobes of 4,
+    hole of 0.24 → area 7.76, and the hole survives as a hole (the kept
+    faces re-assemble instead of splitting the lobe into hole-less pieces)."""
+    bt = ("Polygon", [
+        np.array([[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]], float),
+        np.array([[0.3, 1.7], [0.7, 1.7], [0.7, 2.3], [0.3, 2.3], [0.3, 1.7]], float),
+    ])
+    out = overlay.make_valid(bt)
+    assert _poly_area(out) == pytest.approx(7.76)
+    assert sorted(len(g[1]) for g in out) == [1, 2]  # one lobe carries the hole
+
+
+def test_make_valid_nested_shell_even_odd():
+    """Same-orientation nested ring: even-odd (GEOS linework) makes it a
+    hole — area 100-16, one polygon with 2 rings."""
+    nest = ("Polygon", [
+        np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float),
+        np.array([[2, 2], [6, 2], [6, 6], [2, 6], [2, 2]], float),
+    ])
+    out = overlay.make_valid(nest)
+    assert _poly_area(out) == pytest.approx(84.0)
+    assert len(out) == 1 and len(out[0][1]) == 2
+
+
+def test_make_valid_spike_and_duplicate_vertex():
+    """Zero-area collinear spike + consecutive duplicate vertex: cleaned."""
+    spike = ("Polygon", [np.array(
+        [[0, 0], [4, 0], [4, 0], [4, 2], [6, 2], [4, 2], [4, 4], [0, 4], [0, 0]], float)])
+    out = overlay.make_valid(spike)
+    assert _poly_area(out) == pytest.approx(16.0)
