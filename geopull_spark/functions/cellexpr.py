@@ -121,11 +121,13 @@ def with_cover_cells(
     fx1 = lon_fraction_expr(F.col(maxx))
     fy0 = lat_fraction_expr(F.col(miny))
     fy1 = lat_fraction_expr(F.col(maxy))
+    # minx > maxx ⇒ the bbox crosses the antimeridian (wrapped lon range)
+    wx = F.when(fx1 >= fx0, fx1 - fx0).otherwise(F.lit(1.0) - (fx0 - fx1))
     if target is None:
         res_eff = F.lit(res)
     else:
         # largest r with extent_fraction · 2^r ≤ target  (guard zero extents)
-        rx = F.floor(F.log2(F.lit(float(target)) / F.greatest(fx1 - fx0, F.lit(1e-15))))
+        rx = F.floor(F.log2(F.lit(float(target)) / F.greatest(wx, F.lit(1e-15))))
         ry = F.floor(F.log2(F.lit(float(target)) / F.greatest(fy1 - fy0, F.lit(1e-15))))
         res_eff = F.greatest(F.least(F.lit(res), rx, ry), F.lit(0)).cast("int")
     n = F.pow(F.lit(2.0), res_eff.cast("double"))
@@ -135,8 +137,18 @@ def with_cover_cells(
         .withColumn("_ix1", F.floor(fx1 * n).cast("long"))
         .withColumn("_iy0", F.floor(fy0 * n).cast("long"))
         .withColumn("_iy1", F.floor(fy1 * n).cast("long"))
+        .withColumn("_nx", n.cast("long"))
     )
-    df = df.withColumn("_cix", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))))
+    # antimeridian wrap: [ix0, n) ∪ [0, ix1]  (mirrors kernels.cells.cover_bbox)
+    xseq = F.when(
+        F.col("_ix0") <= F.col("_ix1"), F.sequence(F.col("_ix0"), F.col("_ix1"))
+    ).otherwise(
+        F.concat(
+            F.sequence(F.col("_ix0"), F.col("_nx") - 1),
+            F.sequence(F.lit(0).cast("long"), F.col("_ix1")),
+        )
+    )
+    df = df.withColumn("_cix", F.explode(xseq))
     df = df.withColumn("_ciy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))
     df = df.withColumn(out, pack_expr(F.col("_cix"), F.col("_ciy"), F.col(res_out)))
-    return df.drop("_ix0", "_ix1", "_iy0", "_iy1", "_cix", "_ciy")
+    return df.drop("_ix0", "_ix1", "_iy0", "_iy1", "_nx", "_cix", "_ciy")

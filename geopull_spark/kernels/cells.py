@@ -155,8 +155,11 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int,
                cap: int = 4096) -> np.ndarray:
     """All cells at ``res`` whose tile intersects the bbox (inclusive).
 
-    ``cap`` guards against degenerate huge covers (caller should pick res by
-    geometry size; see :func:`res_for_extent`).
+    ``minx > maxx`` means the bbox crosses the antimeridian: the lon range
+    wraps, covering [minx, 180) ∪ [-180, maxx] (mirrored in the JVM cover,
+    ``cellexpr.with_cover_cells``). ``cap`` guards against degenerate huge
+    covers (caller should pick res by geometry size; see
+    :func:`res_for_extent`).
     """
     n = 1 << res
     fx0 = lon_fraction(np.asarray(minx))
@@ -165,10 +168,15 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int,
     fy1 = lat_fraction(np.asarray(maxy))
     ix0, ix1 = int(fx0 * n), int(fx1 * n)
     iy0, iy1 = int(fy0 * n), int(fy1 * n)
-    count = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    if ix0 <= ix1:
+        ix = np.arange(ix0, ix1 + 1, dtype=np.uint64)
+    else:  # antimeridian wrap
+        ix = np.concatenate([
+            np.arange(ix0, n, dtype=np.uint64), np.arange(0, ix1 + 1, dtype=np.uint64)
+        ])
+    count = len(ix) * (iy1 - iy0 + 1)
     if count > cap:
         raise ValueError(f"bbox cover of {count} cells exceeds cap {cap}; lower res")
-    ix = np.arange(ix0, ix1 + 1, dtype=np.uint64)
     iy = np.arange(iy0, iy1 + 1, dtype=np.uint64)
     gx, gy = np.meshgrid(ix, iy, indexing="ij")
     return _pack(gx.ravel(), gy.ravel(), res)

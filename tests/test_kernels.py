@@ -404,3 +404,13 @@ def test_make_valid_spike_and_duplicate_vertex():
         [[0, 0], [4, 0], [4, 0], [4, 2], [6, 2], [4, 2], [4, 4], [0, 4], [0, 0]], float)])
     out = overlay.make_valid(spike)
     assert _poly_area(out) == pytest.approx(16.0)
+
+
+def test_cover_bbox_antimeridian_wrap():
+    """minx > maxx wraps across the antimeridian: cover includes cells on
+    both sides and nothing in the unspanned middle."""
+    cov = set(cells.cover_bbox(170.0, -5.0, -170.0, 5.0, 6).tolist())
+    east = int(cells.cell_id(np.array([175.0]), np.array([0.0]), 6)[0])
+    west = int(cells.cell_id(np.array([-175.0]), np.array([0.0]), 6)[0])
+    mid = int(cells.cell_id(np.array([0.0]), np.array([0.0]), 6)[0])
+    assert east in cov and west in cov and mid not in cov
