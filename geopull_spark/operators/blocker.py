@@ -263,14 +263,22 @@ def build_blocks(land: DataFrame, lines: DataFrame) -> DataFrame:
     from ..functions.geometry import st_bbox
 
     land = land.select("region_code", "part_id", "geometry")
+    # materialize the part-bbox dim table driver-side before broadcasting:
+    # it has one row per land part (tiny by construction — the same rows a
+    # BroadcastExchange would collect anyway), and broadcasting the
+    # UDF-bearing subtree directly makes Spark re-execute the ArrowEvalPython
+    # + cached-cogroup lineage on every query run (measured 7-13s per
+    # execution at 32 cores vs 0.5s for the literal relation)
+    spark = land.sparkSession
+    pb_rows = (
+        land.withColumn("_bb", st_bbox(F.col("geometry")))
+        .select("region_code", "part_id", "_bb.minx", "_bb.miny", "_bb.maxx", "_bb.maxy")
+        .collect()
+    )
     part_boxes = F.broadcast(
-        land.withColumn("_bb", st_bbox(F.col("geometry"))).select(
-            F.col("region_code").alias("p_region"),
-            F.col("part_id").alias("p_part"),
-            F.col("_bb.minx").alias("p_minx"),
-            F.col("_bb.miny").alias("p_miny"),
-            F.col("_bb.maxx").alias("p_maxx"),
-            F.col("_bb.maxy").alias("p_maxy"),
+        spark.createDataFrame(
+            [tuple(r) for r in pb_rows],
+            "p_region string, p_part int, p_minx double, p_miny double, p_maxx double, p_maxy double",
         )
     )
     lines_parts = (
