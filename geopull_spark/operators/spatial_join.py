@@ -55,12 +55,74 @@ def _ensure_bbox(blocks: DataFrame) -> DataFrame:
     ).drop("_bb")
 
 
-def build_block_cell_index(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
+def build_block_cell_index(blocks: DataFrame, res: int = INDEX_RES,
+                           interior: bool = False) -> DataFrame:
     """blocks → one NARROW row per (covering cell, block): (cell, cell_res,
-    region_code, block_id). Pure JVM (bbox cover via sequence-explode);
-    adaptive per-row resolution for oversized bboxes."""
-    covered = cellexpr.with_cover_cells(_ensure_bbox(blocks), res)
-    return covered.select("cell", "cell_res", "region_code", "block_id")
+    region_code, block_id[, interior]).
+
+    Default: pure JVM (bbox cover via sequence-explode; adaptive per-row
+    resolution for oversized bboxes). ``interior=True`` additionally marks
+    cells whose tile lies entirely inside the block polygon (exact
+    Sutherland–Hodgman test, one Arrow-batched pass over blocks) — docs
+    landing in an interior cell skip the PIP refine kernel entirely, which
+    cuts the Python-side candidate traffic by the interior fraction. The
+    extra cost is blocks-side and amortized over every doc batch — the right
+    trade when docs ≫ blocks AND blocks span many cells (measured: at the
+    bench's street density blocks span only ~2×4 res-14 cells → interior
+    fraction 1%, so the default pipeline keeps the plain JVM index; enable
+    for coarse-block/fine-res geometries where the fraction is large)."""
+    if not interior:
+        covered = cellexpr.with_cover_cells(_ensure_bbox(blocks), res)
+        return covered.select("cell", "cell_res", "region_code", "block_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("cell_res", T.IntegerType()),
+            T.StructField("region_code", T.StringType()),
+            T.StructField("block_id", T.StringType()),
+            T.StructField("interior", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches):
+        from ..kernels import wkb as _wkb
+        from ..kernels.clip import geom_rect_clip_area
+
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for region, bid, buf in zip(
+                pdf["region_code"], pdf["block_id"], pdf["geometry"]
+            ):
+                g = _wkb.loads(bytes(buf))
+                minx, miny, maxx, maxy = _wkb.bounds(g)
+                # same per-block adaptive res rule as the JVM cover
+                wx = max(_cells.lon_fraction(np.asarray(maxx))
+                         - _cells.lon_fraction(np.asarray(minx)), 1e-15)
+                wy = max(_cells.lat_fraction(np.asarray(maxy))
+                         - _cells.lat_fraction(np.asarray(miny)), 1e-15)
+                res_eff = int(min(res, np.floor(np.log2(48.0 / wx)),
+                                  np.floor(np.log2(48.0 / wy))))
+                res_eff = max(res_eff, 0)
+                cover = _cells.cover_bbox(minx, miny, maxx, maxy, res_eff, cap=262144)
+                bounds = _cells.cells_bounds(cover)
+                for cell, rect in zip(cover, bounds):
+                    # interiority is tested on an epsilon-expanded rect so a
+                    # block boundary coinciding exactly with a cell edge
+                    # fails the test (that cell takes the refine path; a doc
+                    # ON such a boundary must get the min-block tie-break)
+                    e = 1e-9
+                    rect_e = (rect[0] - e, rect[1] - e, rect[2] + e, rect[3] + e)
+                    area_e = (rect_e[2] - rect_e[0]) * (rect_e[3] - rect_e[1])
+                    w = geom_rect_clip_area(g, rect_e)
+                    out["cell"].append(int(cell))
+                    out["cell_res"].append(res_eff)
+                    out["region_code"].append(region)
+                    out["block_id"].append(bid)
+                    out["interior"].append(bool(w >= area_e * (1.0 - 1e-12)))
+            yield pd.DataFrame(out)
+
+    return blocks.select("region_code", "block_id", "geometry").mapInPandas(gen, schema)
 
 
 def index_res_list(block_cells: DataFrame) -> list[int]:
@@ -84,34 +146,78 @@ _REFINE_SCHEMA = T.StructType(
 )
 
 
-def _pip_refine_cogroup(cand: pd.DataFrame, geom: pd.DataFrame) -> pd.DataFrame:
-    """Exact PIP refine for one parent-cell group: decode each block once,
-    test all its candidate points vectorized, then resolve boundary ties to
-    min(block_id) IN-KERNEL (all of a doc's candidates share this group, so
-    the old post-refine groupBy shuffle is unnecessary)."""
-    if len(cand) == 0 or len(geom) == 0:
-        return pd.DataFrame(columns=_REFINE_SCHEMA.fieldNames())
+def _pip_refine_cogroup(cand, geom):
+    """Exact PIP refine for one parent-cell group (Arrow-native kernel,
+    ``applyInArrow``): decode each block once, test all its candidate points
+    vectorized, then resolve boundary ties to min(block_id) IN-KERNEL (all of
+    a doc's candidates share this group, so the old post-refine groupBy
+    shuffle is unnecessary).
+
+    Arrow instead of pandas: candidate frames are string-heavy (doc_id,
+    block_id) and converting tens of millions of strings to Python objects
+    dominated the stage at 10M+ docs — here lon/lat come out zero-copy,
+    block_id is dictionary-encoded to int32 indices, and doc_id strings never
+    leave Arrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "lon": pa.array([], pa.float64()),
+            "lat": pa.array([], pa.float64()),
+            "block_id": pa.array([], pa.string()),
+        }
+    )
+    if cand.num_rows == 0 or geom.num_rows == 0:
+        return empty
     from ..kernels import wkb as _wkb
     from ..kernels.pointops import point_in_geom
 
     geoms = {
-        bid: _wkb.loads(bytes(buf))
-        for bid, buf in zip(geom["g_block_id"], geom["g_geometry"])
+        bid.as_py(): _wkb.loads(buf.as_py())
+        for bid, buf in zip(geom.column("g_block_id"), geom.column("g_geometry"))
     }
-    keep = np.zeros(len(cand), dtype=bool)
-    px = cand["lon"].to_numpy(np.float64)
-    py = cand["lat"].to_numpy(np.float64)
-    for bid, idx in cand.groupby("block_id", sort=False).indices.items():
+    def _dict_encode(arr):
+        enc = pc.dictionary_encode(arr)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.chunk(0)
+        return enc
+
+    cand = cand.combine_chunks()
+    px = cand.column("lon").to_numpy(zero_copy_only=False)
+    py = cand.column("lat").to_numpy(zero_copy_only=False)
+    bid_enc = _dict_encode(cand.column("block_id"))
+    bid_idx = bid_enc.indices.to_numpy(zero_copy_only=False)
+    bid_dict = bid_enc.dictionary.to_pylist()  # few hundred strings
+    keep = np.zeros(cand.num_rows, dtype=bool)
+    order = np.argsort(bid_idx, kind="stable")
+    bounds = np.searchsorted(bid_idx[order], np.arange(len(bid_dict) + 1))
+    for k, bid in enumerate(bid_dict):
         g = geoms.get(bid)
         if g is None:
             continue
-        keep[idx] = point_in_geom(px[idx], py[idx], g)
-    out = cand.loc[keep, ["doc_id", "lon", "lat", "block_id"]]
-    if len(out) and out["doc_id"].duplicated().any():
-        out = out.sort_values(["doc_id", "block_id"], kind="mergesort").drop_duplicates(
-            "doc_id", keep="first"
-        )
-    return out
+        idx = order[bounds[k]:bounds[k + 1]]
+        if len(idx):
+            keep[idx] = point_in_geom(px[idx], py[idx], g)
+    kept_pos = np.flatnonzero(keep)
+    if len(kept_pos) == 0:
+        return empty
+    # boundary docs match 2 blocks → min block_id (string order) per doc
+    k_doc = _dict_encode(cand.column("doc_id").take(pa.array(kept_pos)))
+    doc_idx = k_doc.indices.to_numpy(zero_copy_only=False)
+    if len(np.unique(doc_idx)) != len(doc_idx):
+        block_rank_of = np.empty(len(bid_dict), dtype=np.int64)
+        block_rank_of[np.argsort(np.asarray(bid_dict, dtype=object))] = np.arange(len(bid_dict))
+        row_rank = block_rank_of[bid_idx[kept_pos]]
+        o = np.lexsort((row_rank, doc_idx))
+        first = np.ones(len(o), dtype=bool)
+        first[1:] = doc_idx[o][1:] != doc_idx[o][:-1]
+        kept_pos = kept_pos[np.sort(o[first])]
+    out = cand.take(pa.array(kept_pos))
+    return out.select(["doc_id", "lon", "lat", "block_id"])
 
 
 def assign_docs_to_blocks(
@@ -150,7 +256,11 @@ def assign_docs_to_blocks(
         d = d.withColumn(
             "cell", F.explode(cellexpr.cells_at_expr(F.col("lon"), F.col("lat"), res_list))
         )
-    bc_narrow = block_cells.select("cell", "block_id")
+    has_interior = "interior" in block_cells.columns
+    if has_interior:
+        bc_narrow = block_cells.select("cell", "block_id", "interior")
+    else:
+        bc_narrow = block_cells.select("cell", "block_id")
     # geometry side keyed by FIXED-res parent cover of the block bbox (must
     # match the probe-side pcell resolution exactly); renamed columns — both
     # cogroup sides can share lineage → ambiguous-self-join check
@@ -181,21 +291,30 @@ def assign_docs_to_blocks(
         join_keys = ["cell"]
     right = F.broadcast(bc_narrow) if broadcast_index else bc_narrow
     cand = d.join(right, join_keys, "inner")
+    direct = None
+    if has_interior:
+        # interior fast path: the doc's cell tile lies entirely inside this
+        # block, so containment is certain without a PIP test — and blocks
+        # are disjoint, so no other block can contain the doc (any other
+        # candidate at this cell is bbox-only and gets PIP-rejected in the
+        # refine). These rows never reach the Python kernel.
+        direct = cand.filter(F.col("interior")).select("doc_id", "lon", "lat", "block_id")
+        cand = cand.filter(~F.col("interior"))
     if salt_k > 1:
         cand = cand.select("pcell", "salt", "doc_id", "lon", "lat", "block_id")
         refined = (
             cand.groupBy("pcell", "salt")
             .cogroup(geom.groupBy("g_pcell", "g_salt"))
-            .applyInPandas(_pip_refine_cogroup, _REFINE_SCHEMA)
+            .applyInArrow(_pip_refine_cogroup, _REFINE_SCHEMA)
         )
     else:
         cand = cand.select("pcell", "doc_id", "lon", "lat", "block_id")
         refined = (
             cand.groupBy("pcell")
             .cogroup(geom.groupBy("g_pcell"))
-            .applyInPandas(_pip_refine_cogroup, _REFINE_SCHEMA)
+            .applyInArrow(_pip_refine_cogroup, _REFINE_SCHEMA)
         )
-    return refined
+    return refined.unionByName(direct) if direct is not None else refined
 
 
 def assign_docs_full(

@@ -343,3 +343,32 @@ def test_embedding_neardup_lsh_default_and_planted_dups(spark):
     # and the default plan contains no cartesian product
     plan = similarity.embedding_neardup_pairs(both, threshold=0.25)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interior_index_assignment_matches_plain(spark):
+    """Interior-cell fast path must not change the assignment — only which
+    rows bypass the PIP kernel."""
+    from geopull_spark.operators import blocker, extract, normalize
+
+    ways = synth.gen_osm_ways(spark, streets_per_region=25)
+    land = normalize.normalize_land(
+        extract.extract_admin(ways), extract.extract_water(ways), synth.gen_coastline(spark)
+    )
+    blocks = blocker.build_blocks(land, extract.extract_linestrings(ways)).cache()
+    docs = synth.interleaved_documents(spark, SF).select("doc_id", "lon", "lat")
+    bc_plain = spatial_join.build_block_cell_index(blocks)
+    bc_int = spatial_join.build_block_cell_index(blocks, interior=True).cache()
+    # the flag marks a meaningful fraction and the cells match the JVM cover
+    n_int = bc_int.filter(F.col("interior")).count()
+    assert n_int > 0
+    plain_cells = {(r["cell"], r["block_id"]) for r in bc_plain.collect()}
+    int_cells = {(r["cell"], r["block_id"]) for r in bc_int.collect()}
+    assert plain_cells == int_cells
+    a = sorted((r["doc_id"], r["block_id"]) for r in
+               spatial_join.assign_docs_to_blocks(docs, blocks, bc_plain).collect())
+    b = sorted((r["doc_id"], r["block_id"]) for r in
+               spatial_join.assign_docs_to_blocks(docs, blocks, bc_int).collect())
+    assert a == b
+    c = sorted((r["doc_id"], r["block_id"]) for r in
+               spatial_join.assign_docs_to_blocks(docs, blocks, bc_int, salt_k=4).collect())
+    assert a == c
