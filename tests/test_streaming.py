@@ -93,3 +93,25 @@ def test_windowed_counts(spark, blocks, tmp_path):
     )
     total = batch_counts.agg(F.sum("n_docs")).head()[0]
     assert total and total > 0
+
+
+def test_boundary_doc_parity_and_uniqueness(spark, blocks):
+    """A doc exactly on a street shared by two blocks must yield at most one
+    assignment (min block_id), identically in batch and stream paths."""
+    from geopull_spark.operators import spatial_join
+
+    bc = spatial_join.build_block_cell_index(blocks)
+    # streets_per_region=25 → n_grid=3 → vertical streets at x = 0.25/0.5/0.75
+    pts = [("edge1", 0.25, 0.33), ("edge2", 0.5, 0.61), ("inner", 0.1, 0.1)]
+    batch_docs = spark.createDataFrame(pts, ["doc_id", "lon", "lat"])
+    batch = spatial_join.assign_docs_to_blocks(batch_docs, blocks, bc).collect()
+    assert len(batch) == len({r["doc_id"] for r in batch})  # unique per doc
+
+    stream_in = batch_docs.withColumn(
+        "event_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    raw = ingest.assign_stream(stream_in, blocks, bc)  # pure transformations
+    dedup = ingest._dedup_batch(raw).collect()
+    assert {(r["doc_id"], r["block_id"]) for r in dedup} == {
+        (r["doc_id"], r["block_id"]) for r in batch
+    }
