@@ -59,7 +59,15 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
                       id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-dup pairs: docs agreeing on ≥1 min-hash band."""
+    """Candidate near-dup pairs: docs agreeing on ≥1 min-hash band.
+
+    Formulated as bucket-grouping + in-bucket pair explosion rather than a
+    band-bucket self-join: a self-join evaluates the minhash pandas UDF on
+    BOTH branches (Spark re-derives each join input), doubling the kernel
+    cost, and shuffles the rows twice. Here the signature is computed once,
+    one shuffle groups by (band, bucket), and pairs explode JVM-side. Bucket
+    cardinality is the same either way (near-dup buckets are small by
+    construction; a degenerate hot bucket costs O(k²) in both shapes)."""
     mh = minhash_signature(docs, text_col, n_bands, id_col)
     stacked = mh.select(
         F.col(id_col),
@@ -68,12 +76,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
             for b in range(n_bands)
         ])).alias("s"),
     ).select(id_col, F.col("s.band").alias("band"), F.col("s.mh").alias("mh"))
-    a = stacked.select(F.col(id_col).alias("doc_a"), "band", "mh")
-    b = stacked.select(F.col(id_col).alias("doc_b"), "band", "mh")
+    buckets = (
+        stacked.groupBy("band", "mh")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(b, ["band", "mh"])
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -109,12 +120,21 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 8, text_col: str = "text
             for c in range(4)
         ])).alias("s"),
     ).select(id_col, "simhash", F.col("s.chunk").alias("chunk"), F.col("s.ck").alias("ck"))
-    a = chunks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "ck")
-    b = chunks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "ck")
+    # bucket-group + in-bucket pair explosion (same shape as minhash_lsh_pairs:
+    # one signature evaluation, one shuffle, no self-join branch re-derivation)
+    buckets = (
+        chunks.groupBy("chunk", "ck")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
     pairs = (
-        a.join(b, ["chunk", "ck"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
         .distinct()
     )
     return pairs.withColumn(
