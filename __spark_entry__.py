@@ -445,6 +445,14 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window, the stateful-streaming
+    operator in its batch form — oracle via lag/cumsum sessionization)."""
+    from geopull_spark.streaming.ingest import event_sessions
+
+    return event_sessions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A6/A7/A8: global scalar aggregates in one row."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -556,6 +564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "registry_join": q_registry_join,
     "media_features": q_media_features,
     "event_window": q_event_window,
+    "event_sessions": q_event_sessions,
     "scalar_aggs": q_scalar_aggs,
     "knn_docs": q_knn_docs,
     "embedding_neardup": q_embedding_neardup,
@@ -781,6 +790,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+            FROM s GROUP BY user_id, sid
         """,
         "scalar_aggs": """
             SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,

@@ -116,6 +116,35 @@ def run_assign_stream(
     q.awaitTermination()
 
 
+def event_sessions(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization per user (SURVEY §2.9 stateful-operator
+    surface): Spark's built-in ``session_window`` (merging event-time state)
+    rather than a hand-rolled ``applyInPandasWithState`` — the declarative
+    form Catalyst can plan. Works on batch and streaming frames alike (the
+    watermark is attached only when the input is streaming; batch form is
+    DuckDB-oracle-checked as ``event_sessions``).
+
+    A session extends while the next event arrives strictly within ``gap``
+    of the previous one; ``session_start`` is the first event's timestamp."""
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def windowed_block_counts(doc_stream: DataFrame, blocks: DataFrame,
                           block_cells: DataFrame | None = None,
                           window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -115,3 +115,37 @@ def test_boundary_doc_parity_and_uniqueness(spark, blocks):
     assert {(r["doc_id"], r["block_id"]) for r in dedup} == {
         (r["doc_id"], r["block_id"]) for r in batch
     }
+
+
+def test_event_sessions_streaming_and_batch(spark, tmp_path):
+    """session_window sessionization runs as a streaming stateful op and its
+    batch form merges events within the gap."""
+    rows = [
+        (1, "2026-01-01 10:00:00", 100, "view", 1.0),
+        (2, "2026-01-01 10:10:00", 100, "click", 2.0),   # same session
+        (3, "2026-01-01 11:30:00", 100, "view", 3.0),    # new session
+        (4, "2026-01-01 10:05:00", 200, "view", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    batch = {(r["user_id"], str(r["session_start"]), r["n_events"])
+             for r in ingest.event_sessions(df, gap="30 minutes").collect()}
+    assert batch == {
+        (100, "2026-01-01 10:00:00", 2),
+        (100, "2026-01-01 11:30:00", 1),
+        (200, "2026-01-01 10:05:00", 1),
+    }
+    # streaming form: stateful session_window over a file stream
+    in_dir = str(tmp_path / "ev_in")
+    df.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    q = (
+        ingest.event_sessions(stream, gap="30 minutes", watermark="1 minute")
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # smoke: the stateful plan runs and checkpoints
