@@ -345,6 +345,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=5, threshold=0.3)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup verdict over the exact n-gram Jaccard pair
+    graph: one canonical doc (min id) per near-dup cluster. Iterative
+    min-label propagation; oracle is a DuckDB recursive-CTE transitive
+    closure over the same pair query."""
+    from geopull_spark.operators.dedup import dedup_groups, ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.3)
+    return dedup_groups(d, pairs)
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup (xxhash64 engine-specific → rows-only)."""
     from geopull_spark.operators.dedup import simhash_neardup
@@ -553,6 +565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine": q_ann_cosine,
     "minhash_neardup": q_minhash_neardup,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_groups": q_dedup_groups,
     "simhash_neardup": q_simhash_neardup,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -720,6 +733,36 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc = inter.doc_a
                        JOIN sizes sb ON sb.doc = inter.doc_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+        """,
+        "dedup_groups": """
+            WITH RECURSIVE grams AS (
+              SELECT DISTINCT d.doc_id AS doc, substr(d.text, CAST(s.i AS INT) + 1, 5) AS gram
+              FROM documents d JOIN (SELECT i FROM range(0, 100000) t(i)) s
+                ON s.i <= greatest(length(d.text) - 5, 0)
+            ), sizes AS (SELECT doc, count(*) AS sz FROM grams GROUP BY doc),
+            inter AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc < b.doc
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc = inter.doc_a
+              JOIN sizes sb ON sb.doc = inter.doc_b
+              WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+            ), edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), comp AS (
+              SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a
+            )
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS rep_doc_id,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "text_quality": """
             SELECT doc_id,

@@ -142,6 +142,63 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 8, text_col: str = "text
     ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
 
 
+def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+                         max_iters: int = 50) -> DataFrame:
+    """Connected components over a candidate-pair graph → (node, component)
+    where component = min node id in the component.
+
+    This is the keep/drop half of near-dup dedup: pairs from
+    minhash/simhash/embedding candidates form clusters; one canonical doc
+    (the min id) survives per cluster. Iterative min-label propagation —
+    label(v) ← min(label(v), min over neighbors) — as a driver-side loop of
+    DataFrame joins with localCheckpoint lineage truncation and an early-exit
+    convergence check; rounds needed = cluster diameter (near-dup clusters
+    are shallow). No per-row Python; each round is one shuffle join + agg."""
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Per-doc dedup verdict: (doc_id, rep_doc_id, is_canonical). Docs in no
+    pair are their own singleton representative."""
+    cc = connected_components(pairs, src, dst)
+    return (
+        docs.select(F.col(id_col))
+        .join(cc, docs[id_col] == cc["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("rep_doc_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("rep_doc_id"))
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact character-n-gram Jaccard similarity for candidate pairs sharing

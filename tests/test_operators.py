@@ -372,3 +372,24 @@ def test_interior_index_assignment_matches_plain(spark):
     c = sorted((r["doc_id"], r["block_id"]) for r in
                spatial_join.assign_docs_to_blocks(docs, blocks, bc_int, salt_k=4).collect())
     assert a == c
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation: chains collapse to the min id; propagation
+    crosses the full diameter; singletons stay canonical."""
+    # chain 9-8-7-...-0 (diameter 9, worst order) + separate pair (20, 21)
+    pairs = [(i, i + 1) for i in range(9)] + [(20, 21)]
+    pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    cc = {r["node"]: r["component"] for r in dedup.connected_components(pdf).collect()}
+    for i in range(10):
+        assert cc[i] == 0, (i, cc[i])
+    assert cc[20] == 20 and cc[21] == 20
+
+    docs = spark.createDataFrame([(i,) for i in list(range(10)) + [20, 21, 99]], ["doc_id"])
+    groups = {r["doc_id"]: (r["rep_doc_id"], r["is_canonical"])
+              for r in dedup.dedup_groups(docs, pdf).collect()}
+    assert groups[0] == (0, True)
+    assert groups[9] == (0, False)
+    assert groups[99] == (99, True)  # untouched singleton
+    n_canon = sum(1 for _, (rep, c) in groups.items() if c)
+    assert n_canon == 3  # clusters {0..9}, {20,21}, {99}
