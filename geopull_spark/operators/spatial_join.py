@@ -413,20 +413,40 @@ def zonal_population(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def knn_points(pts: DataFrame, k: int = 3, res: int = 7,
-               id_col: str = "doc_id") -> DataFrame:
-    """J8 on raw points: k nearest neighbors via k-ring cell-key join +
-    row_number window. Exact whenever the true k-th neighbor lies within one
-    cell width (guaranteed here: res 7 cells span ~2.8° lon × ~0.9° lat near
-    the equator, regions span 1°).
+def _ring_guarantee_expr(lon, lat, res: int, ring: int):
+    """Degree-space distance from a point to the boundary of its k-ring cell
+    box — results with kth-distance within this are provably exact (no
+    neighbor outside the probed cells can be closer). Conservative at the
+    antimeridian (wrapped ring coverage is ignored) and infinite at clamped
+    poles / full-longitude coverage."""
+    n = 1 << res
+    ix, iy = cellexpr.ixy_expr(lon, lat, res)
+    big = F.lit(1e9)
+    if 2 * ring + 1 >= n:
+        g_lon = big
+    else:
+        west = F.greatest(
+            F.lit(-180.0) + (ix - ring).cast("double") * (360.0 / n), F.lit(-180.0)
+        )
+        east = F.least(
+            F.lit(-180.0) + (ix + ring + 1).cast("double") * (360.0 / n), F.lit(180.0)
+        )
+        g_lon = F.least(lon - west, east - lon)
+    south = F.when(iy - ring <= 0, -big).otherwise(
+        F.degrees(F.asin(F.lit(2.0) * (iy - ring).cast("double") / n - 1.0))
+    )
+    north = F.when(iy + ring + 1 >= n, big).otherwise(
+        F.degrees(F.asin(F.lit(2.0) * (iy + ring + 1).cast("double") / n - 1.0))
+    )
+    return F.least(g_lon, lat - south, north - lat)
 
-    ``pts`` carries (id_col, lon, lat). Deterministic ties: (dist2, id)."""
+
+def _knn_ring_pass(pts: DataFrame, base: DataFrame, k: int, res: int, ring: int,
+                   id_col: str) -> DataFrame:
+    """One k-ring pass: top-k per point + per-row exactness flag."""
     from pyspark.sql import Window
 
-    base = pts.select(id_col, "lon", "lat").withColumn(
-        "cell", st_cell(F.col("lon"), F.col("lat"), res)
-    )
-    left = base.withColumn("nbr_cell", F.explode(st_k_ring(F.col("cell"), 1)))
+    left = pts.withColumn("nbr_cell", F.explode(st_k_ring(F.col("cell"), ring)))
     right = base.select(
         F.col(id_col).alias("nbr_id"),
         F.col("lon").alias("nbr_lon"),
@@ -440,11 +460,55 @@ def knn_points(pts: DataFrame, k: int = 3, res: int = 7,
         + (F.col("lat") - F.col("nbr_lat")) * (F.col("lat") - F.col("nbr_lat")),
     ).dropDuplicates([id_col, "nbr_id"])
     w = Window.partitionBy(id_col).orderBy(F.col("dist2").asc(), F.col("nbr_id").asc())
+    topk = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    g = _ring_guarantee_expr(F.col("lon"), F.col("lat"), res, ring)
+    wmax = Window.partitionBy(id_col)
     return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(id_col, "nbr_id", "dist2", "rk")
+        topk.withColumn("kth_dist2", F.max("dist2").over(wmax))
+        .withColumn("n_found", F.max("rk").over(wmax))
+        .withColumn(
+            "exact", (F.col("n_found") >= k) & (F.col("kth_dist2") <= g * g)
+        )
+        .select(id_col, "lon", "lat", "cell", "nbr_id", "dist2", "rk", "exact")
     )
+
+
+def knn_points(pts: DataFrame, k: int = 3, res: int = 7,
+               id_col: str = "doc_id", max_ring: int = 8) -> DataFrame:
+    """J8 on raw points: k nearest neighbors via k-ring cell-key join +
+    row_number window, with ADAPTIVE ring expansion: a result set is provably
+    exact when the k-th distance is within the probed ring-box boundary
+    (computed per point); points failing the guarantee — sparse data whose
+    true k-th neighbor may lie outside the ring — are re-probed with a
+    doubled ring until exact or ``max_ring`` (VERDICT r1 minor: the fixed
+    one-ring version was exact only by data-shape luck).
+
+    ``pts`` carries (id_col, lon, lat). Deterministic ties: (dist2, id)."""
+    base = pts.select(id_col, "lon", "lat").withColumn(
+        "cell", st_cell(F.col("lon"), F.col("lat"), res)
+    )
+    remaining = base
+    results = None
+    ring = 1
+    while True:
+        passed = _knn_ring_pass(remaining, base, k, res, ring, id_col).persist()
+        if ring * 2 > max_ring:
+            done = passed  # final ring: emit best-effort for stragglers too
+        else:
+            done = passed.filter(F.col("exact"))
+        out = done.select(id_col, "nbr_id", "dist2", "rk")
+        results = out if results is None else results.unionByName(out)
+        if ring * 2 > max_ring:
+            break
+        # anti-join on the EXACT ids: points with zero ring candidates emit
+        # no rows at all and must also survive into the wider-ring pass
+        exact_ids = passed.filter(F.col("exact")).select(id_col).distinct()
+        remaining = remaining.join(exact_ids, id_col, "left_anti")
+        n_fail = remaining.count()  # iterative algorithm: tiny driver scalar
+        if n_fail == 0:
+            break
+        ring *= 2
+    return results
 
 
 def knn_blocks(blocks: DataFrame, k: int = 4, res: int = 12) -> DataFrame:

@@ -1,0 +1,42 @@
+"""Bucketed table layout for co-located joins.
+
+Big recurring equi-joins (docs ⋈ block-cell index on ``cell``; band-bucket
+dedup joins) shuffle both sides on every run. Writing both sides bucketed by
+the join key (`bucketBy` + `saveAsTable`) pre-partitions the data on disk so
+Spark plans the join WITHOUT any Exchange — the 100 TB recipe for a stable
+doc-assignment pipeline where the block index changes rarely and doc batches
+arrive continuously (each batch is written bucketed once, then every
+downstream join on ``cell`` is shuffle-free; verified by
+tests/test_pipeline.py::test_bucketed_cell_join_no_shuffle, which asserts no
+Exchange in the physical plan).
+
+The reference has no analog (single-node eager geopandas); this is the
+engine-native layout layer on top of the snapshot warehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+
+    Joins between two tables bucketed by the same columns with the same
+    bucket count execute without a shuffle; sorting within buckets
+    additionally enables exchange-AND-sort-free sort-merge joins."""
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

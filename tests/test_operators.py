@@ -393,3 +393,20 @@ def test_connected_components_chain_and_singleton(spark):
     assert groups[99] == (99, True)  # untouched singleton
     n_canon = sum(1 for _, (rep, c) in groups.items() if c)
     assert n_canon == 3  # clusters {0..9}, {20,21}, {99}
+
+
+def test_knn_adaptive_ring_sparse_points(spark):
+    """Sparse points whose true neighbors sit several cells away: the fixed
+    one-ring probe would miss or mis-rank them; adaptive expansion recovers
+    the exact brute-force answer."""
+    # at res 10 the lon tile is ~0.35°; spread points 1-2 tiles apart
+    pts = [("a", 0.0, 0.0), ("b", 0.9, 0.0), ("c", 2.1, 0.0), ("d", 2.2, 0.05),
+           ("e", 9.0, 3.0)]  # e is isolated by many cells
+    df = spark.createDataFrame(pts, ["doc_id", "lon", "lat"])
+    got = {(r["doc_id"], r["rk"]): r["nbr_id"]
+           for r in spatial_join.knn_points(df, k=2, res=10, max_ring=64).collect()}
+    for pid, px, py in pts:
+        dists = sorted(((qx - px) ** 2 + (qy - py) ** 2, qid)
+                       for qid, qx, qy in pts if qid != pid)
+        for rk, (dd, qid) in enumerate(dists[:2], start=1):
+            assert got[(pid, rk)] == qid, (pid, rk, got.get((pid, rk)), qid)

@@ -268,3 +268,28 @@ def test_cli_export_and_version(spark, tmp_path, capsys):
     ]) == 0
     pq = spark.read.parquet(out2)
     assert pq.count() > 0
+
+
+def test_bucketed_cell_join_no_shuffle(spark, world, tmp_path):
+    """Co-located join layout: block-cell index and doc cells both bucketed
+    by `cell` → the assignment candidate join plans with NO Exchange."""
+    from geopull_spark.sources.bucketed import write_bucketed
+
+    bc = spatial_join.build_block_cell_index(world["blocks"])
+    docs = synth.interleaved_documents(spark, SF).select("doc_id", "lon", "lat")
+    d = spatial_join.docs_with_cell(docs)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(bc, "bkt_index", ["cell"], n_buckets=8, sort_cols=["cell"])
+        write_bucketed(d, "bkt_docs", ["cell"], n_buckets=8, sort_cols=["cell"])
+        j = spark.table("bkt_docs").join(spark.table("bkt_index"), "cell")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        # and it still produces the right candidate count
+        shuffled = d.join(bc, "cell")
+        assert j.count() == shuffled.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_index")
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
