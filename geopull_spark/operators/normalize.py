@@ -117,16 +117,28 @@ def subtract_by_region(land: DataFrame, other: DataFrame) -> DataFrame:
 
 
 def _normalize_cogroup(admin_pdf: pd.DataFrame, other_pdf: pd.DataFrame) -> pd.DataFrame:
-    """Fused per-region normalize kernel: dissolve kept-level admin →
+    """Fused per-region normalize kernel: level choice (keep 4 iff present
+    and Σarea₄ ≥ Σarea₂, normalizer.py:86-95) → dissolve kept-level admin →
     coastline difference when kept level is 2 (normalizer.py:59-60, 99-129)
     → water difference (normalizer.py:131-158). One Python stage per region
-    instead of three — at small per-region payloads the Python-worker
-    round-trips dominate, not the geometry."""
+    instead of four — at small per-region payloads the Python-worker
+    round-trips and extra shuffles dominate, not the geometry; the level
+    areas are computed here from the rows the group already holds instead of
+    a separate UDF+agg+broadcast-join subplan (``choose_levels`` remains as
+    the standalone API)."""
     if len(admin_pdf) == 0:
         return pd.DataFrame(columns=["region_code", "part_id", "geometry"])
+    from ..kernels.area import wkb_area_m2
+
     region = admin_pdf["region_code"].iloc[0]
-    keep_level = int(admin_pdf["keep_level"].iloc[0])
-    land = _overlay.dissolve([bytes(b) for b in admin_pdf["geometry"]])
+    levels = admin_pdf["admin_level"].to_numpy()
+    areas = {lv: 0.0 for lv in (2, 4)}
+    for lv, buf in zip(levels, admin_pdf["geometry"]):
+        if lv in areas:
+            areas[lv] += wkb_area_m2(bytes(buf))
+    keep_level = 4 if ((levels == 4).any() and areas[4] >= areas[2]) else 2
+    kept = admin_pdf.loc[levels == keep_level, "geometry"]
+    land = _overlay.dissolve([bytes(b) for b in kept])
     if len(other_pdf):
         if keep_level == 2:
             coast = [
@@ -167,10 +179,6 @@ def normalize_land(
 ) -> DataFrame:
     """Full normalize: admin+water(+coastline) → exploded land parts."""
     admin_num = numeric_admin(admin)
-    keep = choose_levels(admin_num)
-    kept = admin_num.join(F.broadcast(keep), "region_code").filter(
-        F.col("admin_level") == F.col("keep_level")
-    )
     # rename right-side columns — both sides share lineage with osm_ways and
     # Spark flags the cogroup as an ambiguous self-join otherwise
     other = water.select(
@@ -183,7 +191,7 @@ def normalize_land(
             ).withColumn("role", F.lit("coast"))
         )
     return (
-        kept.select("region_code", "keep_level", "geometry")
+        admin_num.select("region_code", "admin_level", "geometry")
         .groupBy("region_code")
         .cogroup(other.groupBy("o_region"))
         .applyInPandas(_normalize_cogroup, LAND_SCHEMA)
