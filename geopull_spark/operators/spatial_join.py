@@ -394,8 +394,9 @@ def zonal_population(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
     the covered area; interior cells weight 1).
 
     With a real raster the f(cell) literal becomes a raster-tile table on the
-    same cell key — same plan shape. Conservation invariant (tested):
-    Σ_cells weight(block, cell) · area(cell) == area(block) per block."""
+    same cell key — ``zonal_aggregate`` below is exactly that plan shape.
+    Conservation invariant (tested): Σ_cells weight(block, cell) · area(cell)
+    == area(block) per block."""
     w = zonal_cell_weights(blocks, res)
     pop = (F.pmod(F.xxhash64(F.col("cell")), F.lit(1000)) + 1).cast("double")
     return (
@@ -403,6 +404,24 @@ def zonal_population(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
         .groupBy("region_code", "block_id")
         .agg(
             F.round(F.sum(F.col("cell_pop") * F.col("weight")), 6).alias("population"),
+            F.count("*").alias("n_cells"),
+        )
+    )
+
+
+def zonal_aggregate(blocks: DataFrame, raster: DataFrame, value_col: str = "value",
+                    res: int = INDEX_RES) -> DataFrame:
+    """J9 against a REAL raster-tile table keyed by cell: coverage weights
+    equi-join the raster on ``cell`` (shuffle-hash / broadcast — Catalyst's
+    call), then hash-agg per block. Cells absent from the raster contribute
+    nothing (inner join) — the standard sparse-raster semantics."""
+    w = zonal_cell_weights(blocks, res)
+    return (
+        w.join(raster.select("cell", value_col), "cell")
+        .groupBy("region_code", "block_id")
+        .agg(
+            F.sum(F.col(value_col) * F.col("weight")).alias("zonal_sum"),
+            F.sum("weight").alias("covered_weight"),
             F.count("*").alias("n_cells"),
         )
     )

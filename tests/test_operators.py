@@ -410,3 +410,28 @@ def test_knn_adaptive_ring_sparse_points(spark):
                        for qid, qx, qy in pts if qid != pid)
         for rk, (dd, qid) in enumerate(dists[:2], start=1):
             assert got[(pid, rk)] == qid, (pid, rk, got.get((pid, rk)), qid)
+
+
+def test_zonal_aggregate_raster_table(spark):
+    """zonal_aggregate against an explicit raster-tile table equals the
+    inline-f(cell) zonal_population when the raster carries the same values."""
+    from geopull_spark.operators import blocker, extract, normalize
+
+    ways = synth.gen_osm_ways(spark, streets_per_region=25)
+    land = normalize.normalize_land(
+        extract.extract_admin(ways), extract.extract_water(ways), synth.gen_coastline(spark)
+    )
+    blocks = blocker.build_blocks(land, extract.extract_linestrings(ways)).cache()
+    w = spatial_join.zonal_cell_weights(blocks, res=14)
+    raster = w.select("cell").distinct().withColumn(
+        "value", (F.pmod(F.xxhash64(F.col("cell")), F.lit(1000)) + 1).cast("double")
+    )
+    got = {
+        r["block_id"]: round(r["zonal_sum"], 6)
+        for r in spatial_join.zonal_aggregate(blocks, raster, "value", res=14).collect()
+    }
+    want = {
+        r["block_id"]: r["population"]
+        for r in spatial_join.zonal_population(blocks, res=14).collect()
+    }
+    assert got == want
