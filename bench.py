@@ -75,6 +75,8 @@ def main() -> None:
     # not with the per-batch assignment join (VERDICT r1 item 1)
     bc = spatial_join.build_block_cell_index(blocks).persist()
     bc.count()
+    gc = spatial_join.build_refine_geometry(blocks).persist()
+    gc.count()
     times["blocks_build"] = time.time() - t0
     extras["n_blocks"] = n_blocks
     extras["blocks_per_sec"] = n_blocks / times["blocks_build"]
@@ -114,7 +116,7 @@ def main() -> None:
     docs = docs.select("doc_id", "lon", "lat").repartition(cpus * 4).persist()
     n_docs = docs.count()  # materialize input before the timed join
     t0 = time.time()
-    assigned = spatial_join.assign_docs_to_blocks(docs, blocks, bc, salt_k=salt_k)
+    assigned = spatial_join.assign_docs_to_blocks(docs, blocks, bc, salt_k=salt_k, geom_cells=gc)
     n_assigned = assigned.count()
     times["doc_assign"] = time.time() - t0
     if skew_pct:
@@ -127,7 +129,7 @@ def main() -> None:
     # release pipeline state before the relational queries (GC pressure from
     # persisted WKB frames skews the later timings otherwise)
     assigned.count()
-    for df in (ways, land, blocks, bc, docs):
+    for df in (ways, land, blocks, bc, gc, docs):
         df.unpersist()
 
     # -- relational + training-data headliners -----------------------------

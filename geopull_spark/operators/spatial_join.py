@@ -131,6 +131,24 @@ def index_res_list(block_cells: DataFrame) -> list[int]:
     return sorted(r["cell_res"] for r in block_cells.select("cell_res").distinct().collect())
 
 
+def build_refine_geometry(blocks: DataFrame, parent_res: int = PARENT_RES) -> DataFrame:
+    """Geometry side of the refine cogroup: each block's WKB keyed by its
+    FIXED-res parent-cell cover — (g_pcell, g_block_id, g_geometry). Like the
+    cell index, this is a pure function of the blocks snapshot: build it once
+    per snapshot (persist/bucketed table) and amortize across doc batches."""
+    blocks = _ensure_bbox(blocks)
+    return cellexpr.with_cover_cells(
+        blocks.select(
+            F.col("block_id").alias("g_block_id"),
+            F.col("geometry").alias("g_geometry"),
+            "minx", "miny", "maxx", "maxy",
+        ),
+        parent_res,
+        target=None,
+        out="g_pcell",
+    ).select("g_pcell", "g_block_id", "g_geometry")
+
+
 def docs_with_cell(docs: DataFrame, res: int = INDEX_RES) -> DataFrame:
     """Point cell id, JVM-side (kept for single-res probes: streaming, tests)."""
     return docs.withColumn("cell", cellexpr.cell_expr(F.col("lon"), F.col("lat"), res))
@@ -227,6 +245,7 @@ def assign_docs_to_blocks(
     salt_k: int = 0,
     broadcast_index: bool = False,
     res: int = INDEX_RES,
+    geom_cells: DataFrame | None = None,
 ) -> DataFrame:
     """J7 doc→block point-in-polygon assignment (one row per assigned doc).
 
@@ -262,18 +281,9 @@ def assign_docs_to_blocks(
     else:
         bc_narrow = block_cells.select("cell", "block_id")
     # geometry side keyed by FIXED-res parent cover of the block bbox (must
-    # match the probe-side pcell resolution exactly); renamed columns — both
-    # cogroup sides can share lineage → ambiguous-self-join check
-    geom = cellexpr.with_cover_cells(
-        blocks.select(
-            F.col("block_id").alias("g_block_id"),
-            F.col("geometry").alias("g_geometry"),
-            "minx", "miny", "maxx", "maxy",
-        ),
-        PARENT_RES,
-        target=None,
-        out="g_pcell",
-    ).select("g_pcell", "g_block_id", "g_geometry")
+    # match the probe-side pcell resolution exactly); prebuild + persist via
+    # build_refine_geometry to amortize across doc batches
+    geom = geom_cells if geom_cells is not None else build_refine_geometry(blocks)
     if salt_k > 1:
         # salt both phases: the join key AND the refine group key — a
         # cell-concentrated hot spot otherwise serializes the refine group
