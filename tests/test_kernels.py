@@ -414,3 +414,57 @@ def test_cover_bbox_antimeridian_wrap():
     west = int(cells.cell_id(np.array([-175.0]), np.array([0.0]), 6)[0])
     mid = int(cells.cell_id(np.array([0.0]), np.array([0.0]), 6)[0])
     assert east in cov and west in cov and mid not in cov
+
+
+def test_unique_points_matches_np_unique_properties():
+    """Packed-key unique == np.unique(axis=0) (values, order, inverse,
+    counts), on both the packed fast path and the >2^31-span fallback."""
+    rng = np.random.default_rng(123)
+    cases = [
+        rng.integers(-10**9, 10**9, size=(5000, 2)),          # packed path
+        rng.integers(-3 * 10**12, 3 * 10**12, size=(3000, 2)),  # fallback path
+        np.repeat(rng.integers(0, 50, size=(40, 2)), 25, axis=0),  # heavy dups
+    ]
+    for pts in cases:
+        pts = pts.astype(np.int64)
+        got, ginv, gcnt = polygonize.unique_points(pts, return_inverse=True, return_counts=True)
+        want, winv, wcnt = np.unique(pts, axis=0, return_inverse=True, return_counts=True)
+        assert np.array_equal(got, want)
+        assert np.array_equal(ginv, winv.ravel())
+        assert np.array_equal(gcnt, wcnt)
+        # reconstruction property
+        assert np.array_equal(got[ginv], pts)
+
+
+def test_unique_rows4_matches_np_unique():
+    rng = np.random.default_rng(7)
+    q = rng.integers(-10**8, 10**8, size=(4000, 4)).astype(np.int64)
+    q = np.vstack([q, q[:1000]])  # duplicates
+    got, gcnt = polygonize._unique_rows4(q, return_counts=True)
+    want, wcnt = np.unique(q, axis=0, return_counts=True)
+    assert np.array_equal(got, want) and np.array_equal(gcnt, wcnt)
+
+
+def test_rect_clip_area_vs_monte_carlo():
+    """Sutherland–Hodgman clip area agrees with Monte-Carlo point sampling
+    on random star-convex polygons (1% tolerance at 200k samples)."""
+    from geopull_spark.kernels.clip import geom_rect_clip_area
+    from geopull_spark.kernels.pointops import point_in_geom
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        # star-convex polygon around the origin
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 12))
+        rad = rng.uniform(0.5, 2.0, 12)
+        ring = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        geom = ("Polygon", [ring])
+        rect = tuple(sorted(rng.uniform(-1.5, 1.5, 2))) + tuple(sorted(rng.uniform(-1.5, 1.5, 2)))
+        rect = (rect[0], rect[2], rect[1], rect[3])  # (minx, miny, maxx, maxy)
+        got = geom_rect_clip_area(geom, rect)
+        n = 200_000
+        px = rng.uniform(rect[0], rect[2], n)
+        py = rng.uniform(rect[1], rect[3], n)
+        frac = point_in_geom(px, py, geom).mean()
+        mc = frac * (rect[2] - rect[0]) * (rect[3] - rect[1])
+        assert abs(got - mc) <= max(0.01 * max(mc, got), 3e-3), (trial, got, mc)
