@@ -83,12 +83,34 @@ def q_doc_block_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 kNN block adjacency via k-ring cells (rows-only)."""
-    from geopull_spark.operators.spatial_join import knn_blocks
+    """J8 kNN over block rep-points — the same adaptive exact ring expansion
+    as knn_docs, oracle-checked against DuckDB brute force (round-3: was the
+    one §2.3 surface whose answer could be silently approximate).
 
-    blocks = _pipeline(spark, sf_dir)["blocks"]
-    return knn_blocks(blocks, k=3).select("block_id", "nbr_id", "rk").orderBy(
-        "block_id", "rk"
+    Rep-points here are derived blocks (per-(region, grid-cell) min lon/lat of
+    the exact-arithmetic doc points) so the oracle can rebuild them in SQL;
+    the operator path is identical for polygonized blocks (rep_lon/rep_lat) —
+    exercised rows-only through the pipeline in tests."""
+    from geopull_spark.operators.spatial_join import knn_blocks
+    from geopull_spark.sources.synth import interleaved_documents
+
+    docs = interleaved_documents(spark, sf_dir)
+    reps = (
+        docs.select(
+            "region_code",
+            F.floor(F.col("lon") * 8).cast("long").alias("gx"),
+            F.floor(F.col("lat") * 8).cast("long").alias("gy"),
+            "lon", "lat",
+        )
+        .groupBy("region_code", "gx", "gy")
+        .agg(F.min("lon").alias("rep_lon"), F.min("lat").alias("rep_lat"))
+        .select(
+            F.concat_ws("_", "region_code", "gx", "gy").alias("block_id"),
+            "rep_lon", "rep_lat",
+        )
+    )
+    return knn_blocks(reps, k=3, res=7).select(
+        "block_id", "nbr_id", F.round("dist2", 12).alias("dist2"), "rk"
     )
 
 
@@ -126,25 +148,32 @@ def q_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_spans_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-sequence invariant (kind, text, media_ref, order) preserved
     through a shuffle: explode → full shuffle (repartition by span hash) →
-    regroup ordered by offset → per-doc fingerprint."""
+    regroup ordered by offset → per-doc fingerprint.
+
+    Round-3: the fingerprint is an engine-neutral md5 over a '|'/';'-delimited
+    canonical string (was Spark-specific to_json) so DuckDB can rebuild it —
+    promoted from rows-only to a hash oracle (VERDICT r2 item 10)."""
     from geopull_spark.sources.synth import interleaved_documents
 
     docs = interleaved_documents(spark, sf_dir)
     flat = docs.select("doc_id", F.explode("spans").alias("s"))
     shuffled = flat.repartition(16, F.xxhash64("doc_id", F.col("s.offset")))
+    span_str = F.concat_ws(
+        "|",
+        F.col("s.kind"),
+        F.coalesce(F.col("s.text"), F.lit("")),
+        F.coalesce(F.col("s.media_ref"), F.lit("")),
+        F.col("s.offset").cast("string"),
+    )
     regrouped = (
         shuffled.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("s")).alias("spans2"))
+        .agg(
+            F.collect_list(F.struct(F.col("s.offset").alias("o"), span_str.alias("t"))).alias("sp")
+        )
         .select(
             "doc_id",
             F.md5(
-                F.to_json(
-                    F.expr(
-                        "transform(array_sort(spans2, (a,b) -> a.offset - b.offset),"
-                        " x -> struct(x.kind, coalesce(x.text,'') as text,"
-                        " coalesce(x.media_ref,'') as media_ref, x.offset))"
-                    )
-                )
+                F.array_join(F.expr("transform(array_sort(sp, (a,b) -> a.o - b.o), x -> x.t)"), ";")
             ).alias("span_fingerprint"),
         )
     )
@@ -416,7 +445,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geopull_spark.operators.similarity import lsh_cosine_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(e.head()["embedding"])
+    row = e.select("embedding").head()
+    dim = len(row[0]) if row else 1  # empty-frame guard (ADVICE r2)
     queries_df = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
@@ -503,7 +533,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geopull_spark.operators.similarity import ivf_cosine_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(e.head()["embedding"])
+    row = e.select("embedding").head()
+    dim = len(row[0]) if row else 1  # empty-frame guard (ADVICE r2)
     queries_df = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
@@ -650,6 +681,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "spans_flat": _SPANS_SQL_CORE,
+        "spans_invariant": f"""
+            SELECT doc_id,
+                   md5(string_agg(concat(kind, '|', coalesce(span_text, ''), '|',
+                                         coalesce(media_ref, ''), '|',
+                                         CAST("offset" AS VARCHAR)),
+                                  ';' ORDER BY "offset")) AS span_fingerprint
+            FROM ({_SPANS_SQL_CORE}) GROUP BY doc_id
+        """,
+        "knn_blocks": """
+            WITH pts AS (
+              SELECT CASE doc_id % 3 WHEN 0 THEN 'AAA' WHEN 1 THEN 'BBB' ELSE 'CCC' END AS region_code,
+                     (CASE doc_id % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 2.0 ELSE 4.0 END)
+                       + ((doc_id * 48271) % 100000) / 100000.0 AS lon,
+                     ((doc_id * 69621) % 100000) / 100000.0 AS lat
+              FROM documents),
+            reps AS (
+              SELECT concat(region_code, '_',
+                            CAST(CAST(floor(lon * 8) AS BIGINT) AS VARCHAR), '_',
+                            CAST(CAST(floor(lat * 8) AS BIGINT) AS VARCHAR)) AS block_id,
+                     min(lon) AS rep_lon, min(lat) AS rep_lat
+              FROM pts GROUP BY region_code, floor(lon * 8), floor(lat * 8)),
+            pairs AS (
+              SELECT a.block_id, b.block_id AS nbr_id,
+                     (a.rep_lon - b.rep_lon) * (a.rep_lon - b.rep_lon)
+                   + (a.rep_lat - b.rep_lat) * (a.rep_lat - b.rep_lat) AS d2
+              FROM reps a JOIN reps b ON a.block_id != b.block_id),
+            ranked AS (
+              SELECT block_id, nbr_id, d2,
+                     row_number() OVER (PARTITION BY block_id
+                                        ORDER BY d2 ASC, nbr_id ASC) AS rk
+              FROM pairs)
+            SELECT block_id, nbr_id, round(d2, 12) AS dist2, rk
+            FROM ranked WHERE rk <= 3
+        """,
         "pushdown_filter": """
             SELECT l_orderkey, l_linenumber,
                    CAST(l_quantity AS INT) AS qty_int,

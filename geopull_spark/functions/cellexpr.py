@@ -139,14 +139,20 @@ def with_cover_cells(
         .withColumn("_iy1", F.floor(fy1 * n).cast("long"))
         .withColumn("_nx", n.cast("long"))
     )
-    # antimeridian wrap: [ix0, n) ∪ [0, ix1]  (mirrors kernels.cells.cover_bbox)
-    xseq = F.when(
-        F.col("_ix0") <= F.col("_ix1"), F.sequence(F.col("_ix0"), F.col("_ix1"))
-    ).otherwise(
-        F.concat(
-            F.sequence(F.col("_ix0"), F.col("_nx") - 1),
-            F.sequence(F.lit(0).cast("long"), F.col("_ix1")),
+    # antimeridian wrap: [ix0, n) ∪ [0, ix1]  (mirrors kernels.cells.cover_bbox).
+    # Wrap is decided on the raw fractions (fx0 <= fx1 ⇔ minx <= maxx), not the
+    # quantized indices — a wrapped span wider than 360° minus one tile can land
+    # ix0 <= ix1 and must still cover the full x ring (ADVICE r2).
+    xseq = (
+        F.when(fx0 <= fx1, F.sequence(F.col("_ix0"), F.col("_ix1")))
+        .when(
+            F.col("_ix0") > F.col("_ix1"),
+            F.concat(
+                F.sequence(F.col("_ix0"), F.col("_nx") - 1),
+                F.sequence(F.lit(0).cast("long"), F.col("_ix1")),
+            ),
         )
+        .otherwise(F.sequence(F.lit(0).cast("long"), F.col("_nx") - 1))
     )
     df = df.withColumn("_cix", F.explode(xseq))
     df = df.withColumn("_ciy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))

@@ -168,12 +168,17 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int,
     fy1 = lat_fraction(np.asarray(maxy))
     ix0, ix1 = int(fx0 * n), int(fx1 * n)
     iy0, iy1 = int(fy0 * n), int(fy1 * n)
-    if ix0 <= ix1:
+    # Wrap is a property of the RAW lon range (minx > maxx), not the quantized
+    # indices: a wrapped span wider than 360° minus one tile can land ix0<=ix1
+    # and must still cover the full x ring (ADVICE r2).
+    if fx0 <= fx1:
         ix = np.arange(ix0, ix1 + 1, dtype=np.uint64)
-    else:  # antimeridian wrap
+    elif ix0 > ix1:  # antimeridian wrap, disjoint index ranges
         ix = np.concatenate([
             np.arange(ix0, n, dtype=np.uint64), np.arange(0, ix1 + 1, dtype=np.uint64)
         ])
+    else:  # wrapped AND index ranges touch/overlap → every x column
+        ix = np.arange(0, n, dtype=np.uint64)
     count = len(ix) * (iy1 - iy0 + 1)
     if count > cap:
         raise ValueError(f"bbox cover of {count} cells exceeds cap {cap}; lower res")

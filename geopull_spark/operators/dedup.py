@@ -180,6 +180,20 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    else:
+        # exhausted max_iters with labels still moving: a component whose
+        # diameter exceeds max_iters would get silently-wrong representatives
+        # (ADVICE r2) — surface it loudly instead.
+        if n_changed > 0:
+            import warnings
+
+            warnings.warn(
+                f"connected_components: {n_changed} labels still changing after "
+                f"{max_iters} iterations — components deeper than max_iters are "
+                "unconverged; raise max_iters",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return labels
 
 

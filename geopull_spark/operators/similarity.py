@@ -86,12 +86,22 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     DuckDB by the driver) — never the default."""
     if method == "lsh":
         if dim is None:
-            dim = len(emb.select(vec_col).head()[0])  # one-row metadata probe
+            row = emb.select(vec_col).head()  # one-row metadata probe
+            if row is None:  # empty input → empty pairs, typed like the ids
+                return emb.select(
+                    F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cos_sim"),
+                ).limit(0)
+            dim = len(row[0])
         bits_per_band = n_planes // n_bands
         mask = (1 << bits_per_band) - 1
         sig = lsh_cosine_signature(emb, dim, n_planes, vec_col)
+        # NARROW band join (VERDICT r2): only (id, band, bucket) crosses the
+        # banded self-join shuffle — at 10^12 docs × KB-scale vectors, letting
+        # the vector ride the n_bands× explode dominates shuffle volume. The
+        # vectors re-join ONCE per side onto the deduped candidate pairs.
         banded = sig.select(
-            F.col(id_col), F.col(vec_col), "lsh_sig",
+            F.col(id_col), "lsh_sig",
             F.explode(F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
@@ -100,15 +110,20 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
                 )
                 for b in range(n_bands)
             ])).alias("bb"),
-        ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        s_a = banded.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
-                            "band", "bucket")
-        s_b = banded.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-                            "band", "bucket")
-        cand = (
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        s_a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        s_b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        pair_ids = (
             s_a.join(s_b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b")
+        )
+        vecs = emb.select(F.col(id_col), F.col(vec_col))
+        cand = pair_ids.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")), "id_a"
+        ).join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")), "id_b"
         )
     elif method == "exact":
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
@@ -229,9 +244,10 @@ def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     mask = (1 << bits_per_band) - 1
 
     def banded(df, idc):
+        # narrow: only (id, band, bucket) enters the band join (VERDICT r2)
         s = lsh_cosine_signature(df, dim, n_planes, vec_col)
         return s.select(
-            F.col(idc), F.col(vec_col),
+            F.col(idc),
             F.explode(F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
@@ -241,14 +257,17 @@ def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                 )
                 for b in range(n_bands)
             ])).alias("bb"),
-        ).select(idc, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        ).select(idc, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     e = banded(emb, id_col)
-    q = banded(queries, qid_col).withColumnRenamed(vec_col, "q_vec")
-    cand = (
+    q = banded(queries, qid_col)
+    cand_ids = (
         e.join(q, ["band", "bucket"])
-        .select(id_col, qid_col, vec_col, "q_vec")
+        .select(id_col, qid_col)
         .dropDuplicates([id_col, qid_col])
+    )
+    cand = cand_ids.join(emb.select(id_col, vec_col), id_col).join(
+        queries.select(F.col(qid_col), F.col(vec_col).alias("q_vec")), qid_col
     )
     sim = F.try_divide(
         _dot(F.col(vec_col), F.col("q_vec")),

@@ -96,9 +96,12 @@ def build_block_cell_index(blocks: DataFrame, res: int = INDEX_RES,
             ):
                 g = _wkb.loads(bytes(buf))
                 minx, miny, maxx, maxy = _wkb.bounds(g)
-                # same per-block adaptive res rule as the JVM cover
-                wx = max(_cells.lon_fraction(np.asarray(maxx))
-                         - _cells.lon_fraction(np.asarray(minx)), 1e-15)
+                # same per-block adaptive res rule as the JVM cover — incl.
+                # the wrapped width for antimeridian-crossing bboxes (maxx <
+                # minx ⇒ width = 1 - (fx0 - fx1)), mirroring with_cover_cells
+                fx0 = float(_cells.lon_fraction(np.asarray(minx)))
+                fx1 = float(_cells.lon_fraction(np.asarray(maxx)))
+                wx = max(fx1 - fx0 if fx1 >= fx0 else 1.0 - (fx0 - fx1), 1e-15)
                 wy = max(_cells.lat_fraction(np.asarray(maxy))
                          - _cells.lat_fraction(np.asarray(miny)), 1e-15)
                 res_eff = int(min(res, np.floor(np.log2(48.0 / wx)),
@@ -519,51 +522,47 @@ def knn_points(pts: DataFrame, k: int = 3, res: int = 7,
     remaining = base
     results = None
     ring = 1
-    while True:
-        passed = _knn_ring_pass(remaining, base, k, res, ring, id_col).persist()
-        if ring * 2 > max_ring:
-            done = passed  # final ring: emit best-effort for stragglers too
-        else:
-            done = passed.filter(F.col("exact"))
-        out = done.select(id_col, "nbr_id", "dist2", "rk")
-        results = out if results is None else results.unionByName(out)
-        if ring * 2 > max_ring:
-            break
-        # anti-join on the EXACT ids: points with zero ring candidates emit
-        # no rows at all and must also survive into the wider-ring pass
-        exact_ids = passed.filter(F.col("exact")).select(id_col).distinct()
-        remaining = remaining.join(exact_ids, id_col, "left_anti")
-        n_fail = remaining.count()  # iterative algorithm: tiny driver scalar
-        if n_fail == 0:
-            break
-        ring *= 2
+    persisted = []  # ring frames cached for the intra-loop count/anti-join
+    try:
+        while True:
+            passed = _knn_ring_pass(remaining, base, k, res, ring, id_col).persist()
+            persisted.append(passed)
+            if ring * 2 > max_ring:
+                done = passed  # final ring: emit best-effort for stragglers too
+            else:
+                done = passed.filter(F.col("exact"))
+            out = done.select(id_col, "nbr_id", "dist2", "rk")
+            results = out if results is None else results.unionByName(out)
+            if ring * 2 > max_ring:
+                break
+            # anti-join on the EXACT ids: points with zero ring candidates emit
+            # no rows at all and must also survive into the wider-ring pass
+            exact_ids = passed.filter(F.col("exact")).select(id_col).distinct()
+            remaining = remaining.join(exact_ids, id_col, "left_anti")
+            n_fail = remaining.count()  # iterative algorithm: tiny driver scalar
+            if n_fail == 0:
+                break
+            ring *= 2
+    finally:
+        # the caches only pay off INSIDE the loop (each ring's count/anti-join
+        # would otherwise re-run the whole prior-ring chain); release them
+        # before returning so repeated calls in a long session don't pile up
+        # cached partitions (ADVICE r2). The caller's evaluation of the result
+        # re-runs the ≤log2(max_ring) ring passes once — same cost as a
+        # never-persisted plan.
+        for df in persisted:
+            df.unpersist(blocking=False)
     return results
 
 
-def knn_blocks(blocks: DataFrame, k: int = 4, res: int = 12) -> DataFrame:
-    """J8: k nearest blocks per block via k-ring cell expansion + exact
-    rep-point distance + row_number window (approximate beyond one cell
-    width — rows-only check; knn_points is the oracle-exact variant)."""
-    from pyspark.sql import Window
-
+def knn_blocks(blocks: DataFrame, k: int = 4, res: int = 7,
+               max_ring: int = 8) -> DataFrame:
+    """J8: k nearest blocks per block on rep-points — the same ADAPTIVE ring
+    expansion + per-row exactness proof as :func:`knn_points` (round-3: the
+    old fixed ring-1 pass was the one §2.3 variant whose answer could be
+    silently approximate; now both kNN surfaces share the exact path and a
+    brute-force oracle)."""
     pts = blocks.select(
         "block_id", F.col("rep_lon").alias("lon"), F.col("rep_lat").alias("lat")
-    ).withColumn("cell", st_cell(F.col("lon"), F.col("lat"), res))
-    left = pts.withColumn("nbr_cell", F.explode(st_k_ring(F.col("cell"), 1)))
-    right = pts.select(
-        F.col("block_id").alias("nbr_id"),
-        F.col("lon").alias("nbr_lon"),
-        F.col("lat").alias("nbr_lat"),
-        F.col("cell").alias("nbr_cell"),
     )
-    cand = left.join(right, "nbr_cell").filter(F.col("block_id") != F.col("nbr_id"))
-    cand = cand.withColumn(
-        "dist2",
-        (F.col("lon") - F.col("nbr_lon")) ** 2 + (F.col("lat") - F.col("nbr_lat")) ** 2,
-    )
-    w = Window.partitionBy("block_id").orderBy(F.col("dist2").asc(), F.col("nbr_id").asc())
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("block_id", "nbr_id", "dist2", "rk")
-    )
+    return knn_points(pts, k=k, res=res, id_col="block_id", max_ring=max_ring)

@@ -54,6 +54,9 @@ def test_cover_expr_matches_numpy_incl_adaptive_and_wrap(spark):
     bb["rid"] = range(100)
     # antimeridian-wrapping bbox
     bb.loc[0, ["minx", "miny", "maxx", "maxy"]] = [175.0, -2.0, -176.0, 3.0]
+    # wide wrap whose endpoints share an x tile at the adaptively-lowered res
+    # (ADVICE r2: must cover the full x ring, not one column)
+    bb.loc[1, ["minx", "miny", "maxx", "maxy"]] = [2.0, -5.0, 1.5, 5.0]
     cov = cellexpr.with_cover_cells(spark.createDataFrame(bb), 14)
     got: dict = {}
     resmap: dict = {}

@@ -416,6 +416,22 @@ def test_cover_bbox_antimeridian_wrap():
     assert east in cov and west in cov and mid not in cov
 
 
+def test_cover_bbox_wide_wrap_same_tile():
+    """ADVICE r2: a wrapped lon span wider than 360° minus one tile quantizes
+    minx/maxx into the SAME x tile — the cover must still be the full x ring
+    (every column), not one column, with no duplicate cells."""
+    res = 5
+    n = 1 << res
+    cov = cells.cover_bbox(2.0, -5.0, 1.5, 5.0, res, cap=10**6)
+    assert len(set(cov.tolist())) == len(cov)  # no duplicates
+    ix = cells.cell_xy(cov)[0]
+    assert set(ix.tolist()) == set(range(n))  # all 32 x-columns present
+    # wrapped with overlapping-but-unequal indices: still the full ring
+    cov2 = cells.cover_bbox(2.0, -5.0, 1.9, 5.0, res, cap=10**6)
+    assert set(cells.cell_xy(cov2)[0].tolist()) == set(range(n))
+    assert len(set(cov2.tolist())) == len(cov2)
+
+
 def test_unique_points_matches_np_unique_properties():
     """Packed-key unique == np.unique(axis=0) (values, order, inverse,
     counts), on both the packed fast path and the >2^31-span fallback."""
