@@ -72,11 +72,17 @@ def main() -> None:
     n_blocks = blocks.count()
     # the narrow block-cell index is blocks-side work (built once per blocks
     # snapshot, amortized over every doc batch) → timed with blocks_build,
-    # not with the per-batch assignment join (VERDICT r1 item 1)
+    # not with the per-batch assignment join (VERDICT r1 item 1). Both index
+    # builds read the cached blocks frame; materialize them as CONCURRENT
+    # jobs (32 task slots, two small JVM jobs) so their per-job fixed costs
+    # overlap instead of adding (round-3 fixed-floor shave).
+    from concurrent.futures import ThreadPoolExecutor
+
     bc = spatial_join.build_block_cell_index(blocks).persist()
-    bc.count()
     gc = spatial_join.build_refine_geometry(blocks).persist()
-    gc.count()
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in [ex.submit(bc.count), ex.submit(gc.count)]:
+            f.result()
     times["blocks_build"] = time.time() - t0
     extras["n_blocks"] = n_blocks
     extras["blocks_per_sec"] = n_blocks / times["blocks_build"]

@@ -13,4 +13,4 @@ index, area, point-in-polygon, polygonize, overlay algebra) is implemented
 from scratch in numpy inside Arrow-batched pandas UDFs.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"

@@ -258,23 +258,40 @@ def build_blocks(land: DataFrame, lines: DataFrame) -> DataFrame:
     region-wide window (georank = cumcount within (region, geohash) ordered
     by canonical WKB — the reference's sort+cumcount at blocker.py:296-322,
     bit-identical to the r1 per-region kernel output)."""
-    from pyspark.sql import Window
+    return assign_block_ids(build_blocks_pre(land, lines))
 
-    from ..functions.geometry import st_bbox
 
-    land = land.select("region_code", "part_id", "geometry")
+def build_blocks_pre(land: DataFrame, lines: DataFrame) -> DataFrame:
+    """The cogroup half of build_blocks: blocks WITHOUT ids (geohash + geometry
+    + stats). Exposed so stage-level profiling/benchmarks can attribute time
+    between the geometry kernels and the id window."""
+    if "minx" not in land.columns:
+        # externally-sourced land without bbox columns: one Arrow pass. The
+        # normalize stage emits them in-kernel, so the pipeline path never
+        # pays this extra Python stage (round 3 — ~0.3 cpu-s/task runner
+        # overhead per stage, a measured fixed floor at every core count).
+        from ..functions.geometry import st_bbox
+
+        land = (
+            land.select("region_code", "part_id", "geometry")
+            .withColumn("_bb", st_bbox(F.col("geometry")))
+            .select(
+                "region_code", "part_id", "geometry",
+                F.col("_bb.minx").alias("minx"), F.col("_bb.miny").alias("miny"),
+                F.col("_bb.maxx").alias("maxx"), F.col("_bb.maxy").alias("maxy"),
+            )
+        )
+    land = land.select("region_code", "part_id", "geometry", "minx", "miny", "maxx", "maxy")
     # materialize the part-bbox dim table driver-side before broadcasting:
     # it has one row per land part (tiny by construction — the same rows a
-    # BroadcastExchange would collect anyway), and broadcasting the
-    # UDF-bearing subtree directly makes Spark re-execute the ArrowEvalPython
-    # + cached-cogroup lineage on every query run (measured 7-13s per
-    # execution at 32 cores vs 0.5s for the literal relation)
+    # BroadcastExchange would collect anyway), and broadcasting a subtree
+    # that contains Python-eval stages makes Spark re-execute that lineage
+    # on every query run (measured 7-13s per execution at 32 cores vs 0.5s
+    # for the literal relation)
     spark = land.sparkSession
-    pb_rows = (
-        land.withColumn("_bb", st_bbox(F.col("geometry")))
-        .select("region_code", "part_id", "_bb.minx", "_bb.miny", "_bb.maxx", "_bb.maxy")
-        .collect()
-    )
+    pb_rows = land.select(
+        "region_code", "part_id", "minx", "miny", "maxx", "maxy"
+    ).collect()
     part_boxes = F.broadcast(
         spark.createDataFrame(
             [tuple(r) for r in pb_rows],
@@ -294,11 +311,18 @@ def build_blocks(land: DataFrame, lines: DataFrame) -> DataFrame:
             F.col("geometry").alias("l_geometry"),
         )
     )
-    pre = (
+    return (
         land.groupBy("region_code", "part_id")
         .cogroup(lines_parts.groupBy("l_region", "l_part"))
         .applyInPandas(_block_cogroup_adapter, BLOCKS_PRE_SCHEMA)
     )
+
+
+def assign_block_ids(pre: DataFrame) -> DataFrame:
+    """Region-wide georank window → stable block ids (reference cumcount
+    semantics, blocker.py:296-322)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("region_code", "geohash").orderBy(F.col("geometry").asc())
     return (
         pre.withColumn("georank", F.row_number().over(w) - 1)

@@ -33,8 +33,33 @@ LAND_SCHEMA = T.StructType(
         T.StructField("region_code", T.StringType()),
         T.StructField("part_id", T.IntegerType()),
         T.StructField("geometry", T.BinaryType()),
+        # bbox computed in-kernel (the geometry is already decoded here);
+        # downstream consumers (part routing in the blocker, GeoParquet
+        # sinks) read these columns instead of paying a separate
+        # ArrowEvalPython st_bbox stage — measured ~0.3 cpu-s of fixed
+        # per-task Python-runner overhead × ntasks per extra stage (round 3)
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
     ]
 )
+
+_LAND_COLS = LAND_SCHEMA.fieldNames()
+
+
+def _part_rows(region: str, parts: list) -> list[tuple]:
+    """Deterministic (region, part_id, wkb, bbox) rows: parts ordered by
+    canonical WKB bytes (part-split invariant)."""
+    entries = []
+    for p in parts:
+        buf = _wkb.dumps(p)
+        b = _wkb.bounds(p)
+        entries.append((buf, b))
+    entries.sort(key=lambda e: e[0])
+    return [
+        (region, i, buf, b[0], b[1], b[2], b[3]) for i, (buf, b) in enumerate(entries)
+    ]
 
 
 def numeric_admin(admin: DataFrame) -> DataFrame:
@@ -73,8 +98,7 @@ def choose_levels(admin_num: DataFrame) -> DataFrame:
 def _dissolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
     region = pdf["region_code"].iloc[0]
     parts = _overlay.dissolve([bytes(b) for b in pdf["geometry"]])
-    rows = [(region, i, _wkb.dumps(p)) for i, p in enumerate(parts)]
-    return pd.DataFrame(rows, columns=["region_code", "part_id", "geometry"])
+    return pd.DataFrame(_part_rows(region, parts), columns=_LAND_COLS)
 
 
 def dissolve_by_region(df: DataFrame) -> DataFrame:
@@ -90,20 +114,18 @@ def _difference_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame
     Rows with no right-side match pass through unchanged (cheap path — the
     cell-join formulation of J3; here the group is the region)."""
     if len(left) == 0:
-        return pd.DataFrame(columns=["region_code", "part_id", "geometry"])
+        return pd.DataFrame(columns=_LAND_COLS)
     region = left["region_code"].iloc[0]
-    if len(right) == 0:
-        out = left[["region_code", "part_id", "geometry"]].copy()
-        return out
     a = [_wkb.loads(bytes(b)) for b in left["geometry"]]
+    if len(right) == 0:
+        return pd.DataFrame(_part_rows(region, a), columns=_LAND_COLS)
     b = [_wkb.loads(bytes(x)) for x in right["geometry"]]
     parts = _overlay.overlay(a, b, "difference")
     # make_valid after overlay (normalizer.py:128, :157)
     valid = []
     for p in parts:
         valid.extend(_overlay.make_valid(p))
-    rows = [(region, i, _wkb.dumps(p)) for i, p in enumerate(valid)]
-    return pd.DataFrame(rows, columns=["region_code", "part_id", "geometry"])
+    return pd.DataFrame(_part_rows(region, valid), columns=_LAND_COLS)
 
 
 def subtract_by_region(land: DataFrame, other: DataFrame) -> DataFrame:
@@ -127,7 +149,7 @@ def _normalize_cogroup(admin_pdf: pd.DataFrame, other_pdf: pd.DataFrame) -> pd.D
     a separate UDF+agg+broadcast-join subplan (``choose_levels`` remains as
     the standalone API)."""
     if len(admin_pdf) == 0:
-        return pd.DataFrame(columns=["region_code", "part_id", "geometry"])
+        return pd.DataFrame(columns=_LAND_COLS)
     from ..kernels.area import wkb_area_m2
 
     region = admin_pdf["region_code"].iloc[0]
@@ -166,12 +188,8 @@ def _normalize_cogroup(admin_pdf: pd.DataFrame, other_pdf: pd.DataFrame) -> pd.D
         for part in _wkb.get_parts(p):
             if part[0] == "Polygon":
                 parts.append(part)
-    # deterministic part order: canonical WKB
-    bufs = sorted(_wkb.dumps(p) for p in parts)
-    return pd.DataFrame(
-        [(region, i, b) for i, b in enumerate(bufs)],
-        columns=["region_code", "part_id", "geometry"],
-    )
+    # deterministic part order: canonical WKB (inside _part_rows)
+    return pd.DataFrame(_part_rows(region, parts), columns=_LAND_COLS)
 
 
 def normalize_land(
