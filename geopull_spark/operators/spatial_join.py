@@ -330,6 +330,169 @@ def assign_docs_to_blocks(
     return refined.unionByName(direct) if direct is not None else refined
 
 
+def _pip_filter_batches(batches, geom_wkb: dict):
+    """Map-side exact-PIP refine for the broadcast plan: candidate batches
+    arrive ordered per partition with each doc's candidate rows ADJACENT
+    (map-side join preserves probe-row order), so the min-block boundary
+    tie-break is a local scan — no shuffle anywhere. Rows of the last doc in
+    a batch are carried into the next batch so a batch boundary can never
+    split a doc's candidates into two emissions."""
+    import pyarrow as pa
+
+    from ..kernels import wkb as _wkbk
+    from ..kernels.pointops import point_in_geom
+
+    geoms: dict = {}  # decoded lazily, cached per worker
+
+    def _geom(bid):
+        g = geoms.get(bid)
+        if g is None:
+            buf = geom_wkb.get(bid)
+            if buf is None:
+                return None
+            g = geoms[bid] = _wkbk.loads(buf)
+        return g
+
+    carry: pa.Table | None = None
+
+    def _refine(tbl: pa.Table, emit_tail: bool) -> tuple[pa.Table | None, pa.Table | None]:
+        """→ (emitted rows, carried tail rows)."""
+        n = tbl.num_rows
+        if n == 0:
+            return None, None
+        tail_start = 0 if not emit_tail else n
+        if not emit_tail:
+            # hold back the final doc's rows (may continue in the next batch)
+            doc_arr = tbl.column("doc_id")
+            last = doc_arr[n - 1]
+            tail_start = n - 1
+            while tail_start > 0 and doc_arr[tail_start - 1] == last:
+                tail_start -= 1
+            if tail_start == 0:  # whole batch is one doc — carry it all
+                return None, tbl
+        head = tbl.slice(0, tail_start)
+        tail = tbl.slice(tail_start) if tail_start < n else None
+        if head.num_rows == 0:
+            return None, tail
+        head = head.combine_chunks()
+        px = head.column("lon").to_numpy(zero_copy_only=False)
+        py = head.column("lat").to_numpy(zero_copy_only=False)
+        keep = np.zeros(head.num_rows, dtype=bool)
+        # group candidate rows by block via dictionary encode (vectorized PIP)
+        import pyarrow.compute as pc
+
+        def _enc1(arr):
+            e = pc.dictionary_encode(arr)
+            if isinstance(e, pa.ChunkedArray):
+                e = e.combine_chunks()
+                if isinstance(e, pa.ChunkedArray):
+                    e = e.chunk(0)
+            return e
+
+        enc = _enc1(head.column("block_id"))
+        bid_dict = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        bounds = np.searchsorted(idx[order], np.arange(len(bid_dict) + 1))
+        for k, bid in enumerate(bid_dict):
+            g = _geom(bid)
+            if g is None:
+                continue
+            rows = order[bounds[k]:bounds[k + 1]]
+            if len(rows):
+                keep[rows] = point_in_geom(px[rows], py[rows], g)
+        kept = np.flatnonzero(keep)
+        if len(kept) == 0:
+            return None, tail
+        # per-doc min-block tie-break (vectorized, same recipe as the
+        # cogrouped kernel): rank blocks by string order, lexsort per doc
+        d_enc = _enc1(head.column("doc_id"))
+        kd = d_enc.indices.to_numpy(zero_copy_only=False)[kept]
+        if len(np.unique(kd)) != len(kd):
+            block_rank_of = np.empty(len(bid_dict), dtype=np.int64)
+            block_rank_of[np.argsort(np.asarray(bid_dict, dtype=object))] = np.arange(
+                len(bid_dict)
+            )
+            row_rank = block_rank_of[idx[kept]]
+            o = np.lexsort((row_rank, kd))
+            first = np.ones(len(o), dtype=bool)
+            first[1:] = kd[o][1:] != kd[o][:-1]
+            kept = np.sort(kept[o[first]])
+        out = head.take(pa.array(kept))
+        return out.select(["doc_id", "lon", "lat", "block_id"]), tail
+
+    for tbl in batches:
+        if carry is not None:
+            tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            carry = None
+        emitted, carry = _refine(tbl, emit_tail=False)
+        if emitted is not None and emitted.num_rows:
+            yield emitted
+    if carry is not None:
+        emitted, _ = _refine(carry, emit_tail=True)
+        if emitted is not None and emitted.num_rows:
+            yield emitted
+
+
+def assign_docs_broadcast(
+    docs: DataFrame,
+    blocks: DataFrame,
+    block_cells: DataFrame | None = None,
+    res: int = INDEX_RES,
+) -> DataFrame:
+    """J7 doc→block assignment as a MAP-ONLY plan: broadcast the narrow cell
+    index (equi-join happens map-side) and the block geometry dictionary
+    (PIP refine happens in the same pass) — zero shuffles on the doc side.
+
+    When it wins (measured): SMALL block counts (≲ a few thousand blocks —
+    city/metro snapshots), where each Arrow batch holds many candidates per
+    block and the vectorized PIP amortizes. At large block counts with
+    randomly-ordered docs it LOSES to :func:`assign_docs_to_blocks`: a 10k-row
+    batch then touches ~10k distinct blocks (~1 row per group), so the
+    per-group kernel overhead dominates (measured 4× slower at 140k blocks /
+    10M docs), while the cogrouped plan's pcell shuffle buys spatial
+    coherence. Default pipeline keeps the cogroup plan; results are
+    bit-identical between the two (tested), including the min-block boundary
+    tie-break.
+    """
+    blocks = _ensure_bbox(blocks)
+    if block_cells is None:
+        block_cells = build_block_cell_index(blocks, res)
+    res_list = index_res_list(block_cells)
+    if not res_list:
+        return docs.select("doc_id", "lon", "lat").limit(0).withColumn(
+            "block_id", F.lit(None).cast("string")
+        ).select("doc_id", "lon", "lat", "block_id")
+    d = docs.select("doc_id", "lon", "lat")
+    if len(res_list) == 1:
+        d = d.withColumn("cell", cellexpr.cell_expr(F.col("lon"), F.col("lat"), res_list[0]))
+    else:
+        d = d.withColumn(
+            "cell", F.explode(cellexpr.cells_at_expr(F.col("lon"), F.col("lat"), res_list))
+        )
+    cand = d.join(
+        F.broadcast(block_cells.select("cell", "block_id")), "cell", "inner"
+    ).select("doc_id", "lon", "lat", "block_id")
+    # geometry dictionary: one driver round-trip per blocks snapshot
+    geom_wkb = {
+        r["block_id"]: bytes(r["geometry"])
+        for r in blocks.select("block_id", "geometry").collect()
+    }
+    bvar = docs.sparkSession.sparkContext.broadcast(geom_wkb)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        def tables():
+            for b in batches:
+                yield pa.Table.from_batches([b])
+
+        for out in _pip_filter_batches(tables(), bvar.value):
+            yield from out.to_batches()
+
+    return cand.mapInArrow(gen, _REFINE_SCHEMA)
+
+
 def assign_docs_full(
     docs: DataFrame, blocks: DataFrame, block_cells: DataFrame | None = None, **kw
 ) -> DataFrame:

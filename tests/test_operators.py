@@ -202,6 +202,26 @@ def test_knn_points_exact_vs_brute(spark):
             assert got[(pid, rk)] == qid, (pid, rk)
 
 
+def test_broadcast_assignment_matches_shuffle(spark):
+    """Map-only broadcast plan == cogrouped shuffle plan, bit-identical
+    (incl. boundary min-block tie-break and multi-res probes)."""
+    from geopull_spark.operators import blocker, extract, normalize
+
+    ways = synth.gen_osm_ways(spark, streets_per_region=60)
+    land = normalize.normalize_land(
+        extract.extract_admin(ways), extract.extract_water(ways), synth.gen_coastline(spark)
+    )
+    blocks = blocker.build_blocks(land, extract.extract_linestrings(ways)).cache()
+    docs = synth.interleaved_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "lon", "lat"
+    )
+    a = {(r["doc_id"], r["block_id"])
+         for r in spatial_join.assign_docs_to_blocks(docs, blocks).collect()}
+    b = {(r["doc_id"], r["block_id"])
+         for r in spatial_join.assign_docs_broadcast(docs, blocks).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_knn_releases_ring_caches(spark):
     """ADVICE r2: the adaptive-ring loop persists per-ring frames for its
     intra-loop count/anti-join; none may stay cached after knn_points returns
