@@ -559,7 +559,10 @@ def q_registry_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: spans → media bytes → decode-stub → features."""
+    """Multimodal path: spans → media bytes (real PNG/WAV) → REAL decode
+    (stdlib-zlib PNG + RIFF PCM parsers) → features. Round 3: decode is no
+    longer a stub — width/height come from decoded pixels, duration from the
+    PCM sample count."""
     from geopull_spark.operators.multimodal import (
         decode_media, extract_features, materialize_media,
     )
@@ -567,11 +570,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = interleaved_documents(spark, sf_dir)
     media = materialize_media(docs)
-    meta = decode_media(media, fake=True)
+    meta = decode_media(media)
     feats = extract_features(media)
     return (
         meta.join(feats, "media_ref")
-        .select("media_ref", "kind", "n_bytes", F.size("features").alias("feat_dim"))
+        .select(
+            "media_ref", "kind", "n_bytes", "width", "height", "duration_ms",
+            F.size("features").alias("feat_dim"),
+        )
         .orderBy("media_ref")
     )
 

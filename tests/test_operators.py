@@ -128,9 +128,21 @@ def test_multimodal_plumbing(spark):
         F.explode("spans").alias("s")
     ).filter(F.col("s.media_ref").isNotNull()).count()
     assert media.count() == n_media_spans
-    meta = multimodal.decode_media(media, fake=True)
-    m = meta.head()
-    assert m["n_bytes"] >= 64
+    # REAL decode: every image row decodes to its actual PNG dimensions,
+    # every audio row to its actual PCM duration (round 3)
+    meta = multimodal.decode_media(media).collect()
+    assert len(meta) == n_media_spans
+    from geopull_spark.kernels.png import png_decode, wav_decode
+
+    content = {r["media_ref"]: bytes(r["content"]) for r in media.collect()}
+    for m in meta[:20]:
+        if m["kind"] == "image":
+            img = png_decode(content[m["media_ref"]])
+            assert (m["width"], m["height"]) == (img.shape[1], img.shape[0])
+            assert m["mean_luma"] == pytest.approx(img.astype("float64").mean(), abs=1e-5)
+        else:
+            samples, rate = wav_decode(content[m["media_ref"]])
+            assert m["duration_ms"] == round(1000 * len(samples) / rate)
     feats = multimodal.extract_features(media, dim=8)
     f = feats.head()
     assert len(f["features"]) == 8
@@ -140,11 +152,16 @@ def test_multimodal_plumbing(spark):
     assert f1 == f2
 
 
-def test_decode_media_stub_raises(spark):
-    docs = synth.interleaved_documents(spark, SF)
-    media = multimodal.materialize_media(docs)
+def test_decode_media_unsupported_format_raises(spark):
+    """Formats with no stdlib decoder (JPEG magic here) stay honestly
+    stubbed: NotImplementedError from inside the kernel."""
+    jpeg_like = bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"\0" * 32
+    media = spark.createDataFrame(
+        [("mX", "d0", "image", bytearray(jpeg_like))],
+        "media_ref string, doc_id string, kind string, content binary",
+    )
     with pytest.raises(Exception):  # NotImplementedError inside the kernel
-        multimodal.decode_media(media.limit(1), fake=False).collect()
+        multimodal.decode_media(media).collect()
 
 
 def test_zonal_population_positive(spark):
