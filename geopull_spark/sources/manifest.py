@@ -83,7 +83,13 @@ class SnapshotTable:
             "partition_counts": counts,
             "schema": written.schema.jsonValue(),
             "lineage": lineage or [],
+            "operation": "append",
         }
+        self._write_manifest(manifest)
+        return manifest
+
+    def _write_manifest(self, manifest: dict) -> None:
+        sid = manifest["snapshot_id"]
         os.makedirs(self.manifest_dir, exist_ok=True)
         with open(os.path.join(self.manifest_dir, f"v{sid}.json"), "w") as f:
             json.dump(manifest, f, indent=1)
@@ -91,7 +97,6 @@ class SnapshotTable:
         with open(tmp, "w") as f:
             f.write(sid)
         os.replace(tmp, self._current_path())  # atomic pointer swap
-        return manifest
 
     def read(self, spark: SparkSession) -> DataFrame:
         snap = self.current_snapshot()
@@ -104,10 +109,23 @@ class SnapshotTable:
         with open(os.path.join(self.manifest_dir, f"v{snapshot_id}.json")) as f:
             return json.load(f)
 
-    def read_at(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+    def read_at(
+        self, spark: SparkSession, snapshot_id: str, with_current_schema: bool = False
+    ) -> DataFrame:
         """Time travel: read a historical snapshot by id (data dirs are
-        immutable — commits never rewrite prior snapshots)."""
-        return spark.read.parquet(self.snapshot(snapshot_id)["data_dir"])
+        immutable — commits never rewrite prior snapshots).
+
+        ``with_current_schema=True`` is add-column schema evolution (Iceberg
+        semantics): the historical data is projected onto the CURRENT table
+        schema — columns added by later commits come back as typed nulls, and
+        column order follows the current schema — so old and new snapshots
+        union cleanly."""
+        df = spark.read.parquet(self.snapshot(snapshot_id)["data_dir"])
+        if with_current_schema:
+            cur = self.current_snapshot()
+            if cur is not None:
+                df = _conform_to_schema(df, cur["schema"])
+        return df
 
     def history(self) -> list[dict]:
         """Snapshot lineage chain, newest first."""
@@ -118,3 +136,59 @@ class SnapshotTable:
             pid = snap.get("parent_id")
             snap = self.snapshot(pid) if pid else None
         return out
+
+    # -- maintenance ------------------------------------------------------------
+    def data_files(self, snapshot_id: str | None = None) -> list[str]:
+        snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
+        d = snap["data_dir"]
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> dict:
+        """Small-file compaction: rewrite the current snapshot's data into
+        ``target_files`` files as a NEW snapshot (Iceberg ``rewrite_data_files``
+        shape). The fingerprint is preserved — compaction changes layout, not
+        content — so stage resume still skips; prior snapshots stay readable
+        (time travel over immutable dirs); row counts are carried over and
+        re-verified from the rewritten files."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        sid = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, f"snap-{sid}")
+        spark.read.parquet(snap["data_dir"]).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        rewritten = spark.read.parquet(data_dir)
+        n = rewritten.count()
+        if n != snap["row_count"]:  # conservation gate before the pointer swap
+            raise RuntimeError(
+                f"compaction row-count mismatch: {n} != {snap['row_count']}"
+            )
+        manifest = {
+            **snap,
+            "snapshot_id": sid,
+            "parent_id": snap["snapshot_id"],
+            "created_unix": int(time.time()),
+            "data_dir": data_dir,
+            "schema": rewritten.schema.jsonValue(),
+            "operation": "compact",
+        }
+        self._write_manifest(manifest)
+        return manifest
+
+
+def _conform_to_schema(df: DataFrame, schema_json: dict) -> DataFrame:
+    """Project df onto a target schema: shared columns cast to the target
+    type, missing columns filled with typed nulls, target column order."""
+    from pyspark.sql import types as T
+
+    target = T.StructType.fromJson(schema_json)
+    cols = []
+    for f in target.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

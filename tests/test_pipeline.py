@@ -206,6 +206,52 @@ def test_manifest_time_travel(spark, tmp_path):
     assert [h["snapshot_id"] for h in hist] == [m2["snapshot_id"], m1["snapshot_id"]]
 
 
+def test_manifest_schema_evolution(spark, tmp_path):
+    """Add-column evolution: a v1 snapshot reads back under the CURRENT
+    schema with the added column as typed nulls, in current column order —
+    so old and new snapshots union cleanly."""
+    from geopull_spark.sources.manifest import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "ev"))
+    m1 = t.commit(spark.range(4).select(F.col("id"), F.lit("x").alias("a")), "v1")
+    t.commit(
+        spark.range(2).select(
+            F.col("id"), F.lit("y").alias("a"), F.lit(1.5).alias("score")
+        ),
+        "v2",
+    )
+    old = t.read_at(spark, m1["snapshot_id"], with_current_schema=True)
+    assert old.columns == ["id", "a", "score"]
+    assert old.schema["score"].dataType.typeName() == "double"
+    rows = old.collect()
+    assert len(rows) == 4 and all(r["score"] is None for r in rows)
+    both = t.read(spark).unionByName(old)
+    assert both.count() == 6
+    # raw historical read is unchanged (no phantom columns)
+    assert t.read_at(spark, m1["snapshot_id"]).columns == ["id", "a"]
+
+
+def test_manifest_compaction(spark, tmp_path):
+    """Small-file compaction: new snapshot, fewer files, identical rows,
+    fingerprint preserved (resume still skips), history intact."""
+    from geopull_spark.sources.manifest import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "cp"))
+    m1 = t.commit(spark.range(100).repartition(8), "fpC")
+    assert len(t.data_files()) >= 8
+    mc = t.compact(spark, target_files=1)
+    assert len(t.data_files()) == 1
+    assert mc["operation"] == "compact"
+    assert mc["fingerprint"] == "fpC" and t.is_current("fpC")  # resume intact
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(100))
+    # prior snapshot still time-travelable; parent chain records the rewrite
+    assert t.read_at(spark, m1["snapshot_id"]).count() == 100
+    assert t.history()[0]["parent_id"] == m1["snapshot_id"]
+    # committing the same fingerprint after compaction is still a no-op
+    m3 = t.commit(spark.range(100), "fpC")
+    assert m3["snapshot_id"] == mc["snapshot_id"]
+
+
 def test_geojson_roundtrip(spark, world, tmp_path):
     """S4: write blocks as ndjson GeoJSON, read back, WKB-identical."""
     from geopull_spark.sources.geojson import read_geojson, write_geojson
