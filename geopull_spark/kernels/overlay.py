@@ -155,6 +155,12 @@ def is_simple_polygon(rings) -> bool:
             return False
         if np.any(np.all(r[:-1] == r[1:], axis=1)):
             return False
+        # a ring revisiting a vertex (pinched shell / figure-8 drawn as one
+        # ring) has NO edge crossings, only shared endpoints — catch it via
+        # duplicate vertices so make_valid takes the split path (round 3)
+        body = r[:-1]
+        if len(np.unique(body, axis=0)) != len(body):
+            return False
         segs.append(np.column_stack([r[:-1], r[1:]]))
     s = np.vstack(segs)
     n = len(s)
@@ -202,10 +208,20 @@ def make_valid(geom) -> list:
     classify the arrangement faces by even-odd winding against the original
     linework, keep odd-winding faces and re-assemble them into polygons
     (shared internal edges dissolve, so holes survive as holes instead of
-    splitting their surroundings into hole-less faces). Handles bow-ties,
-    multi-crossing zigzags, nested same-orientation shells (even-odd → hole),
-    collinear spikes and duplicate vertices; goldens in tests/test_kernels.
-    Reference F3 (``blocker.py:119`` etc.)."""
+    splitting their surroundings into hole-less faces).
+
+    Covered classes (goldens in tests/test_kernels): bow-ties, multi-crossing
+    zigzags, nested same-orientation shells (even-odd → hole), collinear
+    spikes, duplicate consecutive vertices, shell self-touch at a point
+    (pinched ring → split polygons, round 3), fully-collapsed rings (→
+    empty), holes touching the shell at a point (valid — preserved), and
+    mixed-dimension collections (non-polygon parts pass through untouched).
+
+    Documented subset vs full GEOS: MultiPolygon parts are repaired
+    INDEPENDENTLY (two mutually-overlapping shells stay overlapping — GEOS
+    linework would even-odd them against each other), and exact snap-grid
+    noding differs from GEOS's floating noder in the last ulp. Reference F3
+    (``blocker.py:119`` etc.)."""
     if geom is None:
         return []
     out = []

@@ -531,3 +531,57 @@ def test_wav_roundtrip_and_golden():
     # hand-check the header layout
     assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
     assert len(buf) == 44 + 800  # 44-byte canonical header + 400 s16 samples
+
+
+def test_make_valid_pinched_shell_splits():
+    """Shell self-touch at a point (figure-8 via a revisited vertex, no edge
+    crossing): GEOS linework splits into two polygons."""
+    pinch = wkb.loads(wkb.polygon([(0, 0), (1, 0), (0.5, 0.5), (1, 1), (0, 1), (0.5, 0.5)]))
+    out = overlay.make_valid(pinch)
+    assert len(out) == 2
+    areas = sorted(abs(area.ring_signed_area(np.asarray(p[1][0]))) for p in out)
+    assert np.allclose(areas, [0.25, 0.25])
+
+
+def test_make_valid_duplicate_vertex_and_collapsed():
+    dup = ("Polygon", [np.array([(0, 0), (1, 0), (1, 0), (1, 1), (0, 1), (0, 0)], float)])
+    out = overlay.make_valid(dup)
+    assert len(out) == 1
+    assert abs(area.ring_signed_area(np.asarray(out[0][1][0]))) == pytest.approx(1.0)
+    # ring collapsed to a segment → empty (Polygon-keeping semantics)
+    col = ("Polygon", [np.array([(0, 0), (1, 0), (1, 0), (0, 0)], float)])
+    assert overlay.make_valid(col) == []
+
+
+def test_make_valid_mixed_collection_passthrough():
+    bow = ("Polygon", [np.array([(0, 0), (1, 1), (1, 0), (0, 1), (0, 0)], float)])
+    gc = ("GeometryCollection", [
+        ("Point", np.array([5.0, 5.0])),
+        ("LineString", np.array([(0, 0), (2, 2)], float)),
+        bow,
+    ])
+    out = overlay.make_valid(gc)
+    assert [p[0] for p in out] == ["Point", "LineString", "Polygon", "Polygon"]
+    areas = sorted(abs(area.ring_signed_area(np.asarray(p[1][0])))
+                   for p in out if p[0] == "Polygon")
+    assert np.allclose(areas, [0.25, 0.25])
+
+
+def test_make_valid_touching_shells_and_hole_touch():
+    """Valid inputs stay untouched: MultiPolygon shells meeting at one point,
+    and a hole tangent to its shell at one point (area conserved)."""
+    mp = ("MultiPolygon", [
+        [np.array([(0, 0), (1, 0), (0.5, 0.5), (0, 0)], float)],
+        [np.array([(0.5, 0.5), (1, 1), (0, 1), (0.5, 0.5)], float)],
+    ])
+    out = overlay.make_valid(mp)
+    assert len(out) == 2
+    ht = ("Polygon", [
+        np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], float),
+        np.array([(2, 0), (3, 1), (1, 1), (2, 0)], float),
+    ])
+    out = overlay.make_valid(ht)
+    assert len(out) == 1 and len(out[0][1]) == 2  # shell + surviving hole
+    tot = sum(abs(area.ring_signed_area(np.asarray(r))) * (1 if i == 0 else -1)
+              for i, r in enumerate(out[0][1]))
+    assert tot == pytest.approx(15.0)
