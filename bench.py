@@ -170,6 +170,8 @@ def main() -> None:
             "queries": {k: round(v, 3) for k, v in times.items()},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "cpus": cpus,
+            "steady": bool(os.environ.get("BENCH_STEADY")),
+            "pipeline_only": True,
             **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
         }
         print(json.dumps(out))
@@ -195,6 +197,8 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in times.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "steady": bool(os.environ.get("BENCH_STEADY")),
+        "pipeline_only": False,
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
     }
     print(json.dumps(out))

@@ -95,11 +95,19 @@ def png_decode(buf: bytes) -> np.ndarray:
     w = h = None
     ctype = depth = interlace = None
     while pos < len(buf):
+        # truncated/malformed chunk headers must raise the documented
+        # ValueError, not struct.error / garbage (ADVICE r3)
+        if pos + 8 > len(buf):
+            raise ValueError("truncated PNG chunk header")
         (ln,) = struct.unpack(">I", buf[pos:pos + 4])
         tag = buf[pos + 4:pos + 8]
+        if pos + 8 + ln > len(buf):
+            raise ValueError("truncated PNG chunk payload")
         payload = buf[pos + 8:pos + 8 + ln]
         pos += 12 + ln
         if tag == b"IHDR":
+            if ln < 13:
+                raise ValueError("truncated PNG IHDR")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", payload)
         elif tag == b"IDAT":
             idat.extend(payload)
@@ -173,9 +181,13 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(buf):
         tag = buf[pos:pos + 4]
         (ln,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        if pos + 8 + ln > len(buf):
+            raise ValueError("truncated WAV chunk payload")
         payload = buf[pos + 8:pos + 8 + ln]
         pos += 8 + ln + (ln & 1)
         if tag == b"fmt ":
+            if ln < 16:
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", payload[:16])
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")

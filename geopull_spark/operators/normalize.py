@@ -116,9 +116,21 @@ def _difference_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame
     if len(left) == 0:
         return pd.DataFrame(columns=_LAND_COLS)
     region = left["region_code"].iloc[0]
-    a = [_wkb.loads(bytes(b)) for b in left["geometry"]]
     if len(right) == 0:
-        return pd.DataFrame(_part_rows(region, a), columns=_LAND_COLS)
+        # zero-decode pass-through (ADVICE r3): upstream land parts are
+        # already canonical WKB (_part_rows output), so sorting the raw
+        # buffers equals sorting re-canonicalized dumps; bboxes ride along
+        # from the input columns instead of being recomputed.
+        rows = sorted(
+            zip(left["geometry"], left["minx"], left["miny"], left["maxx"], left["maxy"]),
+            key=lambda r: bytes(r[0]),
+        )
+        return pd.DataFrame(
+            [(region, i, bytes(g), mnx, mny, mxx, mxy)
+             for i, (g, mnx, mny, mxx, mxy) in enumerate(rows)],
+            columns=_LAND_COLS,
+        )
+    a = [_wkb.loads(bytes(b)) for b in left["geometry"]]
     b = [_wkb.loads(bytes(x)) for x in right["geometry"]]
     parts = _overlay.overlay(a, b, "difference")
     # make_valid after overlay (normalizer.py:128, :157)
@@ -129,9 +141,12 @@ def _difference_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame
 
 
 def subtract_by_region(land: DataFrame, other: DataFrame) -> DataFrame:
-    """J3 overlay difference, grouped by region via cogrouped applyInPandas."""
+    """J3 overlay difference, grouped by region via cogrouped applyInPandas.
+
+    The bbox columns ride into the kernel so the no-right-match cheap path
+    can pass rows through without any WKB decode/encode."""
     return (
-        land.select("region_code", "part_id", "geometry")
+        land.select("region_code", "part_id", "geometry", "minx", "miny", "maxx", "maxy")
         .groupBy("region_code")
         .cogroup(other.select("region_code", "geometry").groupBy("region_code"))
         .applyInPandas(_difference_cogroup, LAND_SCHEMA)

@@ -484,3 +484,65 @@ def test_zonal_aggregate_raster_table(spark):
         for r in spatial_join.zonal_population(blocks, res=14).collect()
     }
     assert got == want
+
+
+def test_lsh_hot_bucket_bounded(spark):
+    """VERDICT r3 #1: 10k identical docs (a crawl-shaped mega-bucket) must
+    complete with bounded per-row memory — the oversized bucket routes
+    through the linear star path (k-1 pairs), and connected components are
+    identical to what all-pairs would give (one cluster)."""
+    n = 10_000
+    rows = [(i, "lorem ipsum boilerplate footer text " * 4) for i in range(n)]
+    rows += [(n + i, f"unique document number {i} with its own words {i*7}") for i in range(20)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(d, bucket_cap=64)
+    got = pairs.collect()
+    # star: every pair anchored at the min id, exactly n-1 pairs for the cluster
+    cluster = [(a, b) for a, b in [(r["doc_a"], r["doc_b"]) for r in got] if b < n]
+    assert len(cluster) == n - 1
+    assert all(a == 0 for a, _ in cluster)
+    groups = dedup.dedup_groups(d, pairs)
+    # the mega-cluster collapses to a single canonical doc (id 0)
+    mega = {r["doc_id"]: (r["rep_doc_id"], r["is_canonical"])
+            for r in groups.filter(F.col("doc_id") < n).collect()}
+    assert all(rep == 0 for rep, _ in mega.values())
+    assert sum(1 for _, c in mega.values() if c) == 1
+
+
+def test_lsh_small_buckets_exact_all_pairs(spark):
+    """Buckets at or under the cap keep exact all-pairs semantics — identical
+    output to a brute-force text equality join."""
+    rows = [(i, f"shared text body alpha {i % 3}") for i in range(9)]  # 3 clusters of 3
+    rows += [(100 + i, f"totally distinct {i} {i*13} qq") for i in range(5)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(d, bucket_cap=64).collect()}
+    expect = {(a, b) for a in range(9) for b in range(9) if a < b and a % 3 == b % 3}
+    assert expect <= got  # exact dups are always candidates, as full pairs
+
+
+def test_simhash_hot_bucket_bounded(spark):
+    """Same star routing for simhash: 300 identical docs > bucket_cap → k-1
+    star pairs with hamming 0, single component downstream."""
+    n = 300
+    rows = [(i, "the same exact sentence repeated in every doc") for i in range(n)]
+    rows += [(n, "something else entirely different here okay")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.simhash_neardup(d, max_hamming=0, bucket_cap=64)
+    got = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs.collect()]
+    cluster = [(a, b) for a, b, h in got if b < n and h == 0]
+    assert len(cluster) == n - 1
+    assert all(a == 0 for a, _ in cluster)
+
+
+def test_cc_pointer_doubling_log_rounds(spark):
+    """VERDICT r3 #9: a 1000-node path graph converges in O(log n) rounds via
+    pointer doubling, not O(n) — and still labels every node with the min."""
+    n = 1000
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    stats = {}
+    cc = dedup.connected_components(pdf, max_iters=20, stats=stats)
+    labels = {r["node"]: r["component"] for r in cc.collect()}
+    assert all(labels[i] == 0 for i in range(n))
+    import math
+    assert stats["iterations"] <= math.ceil(math.log2(n)) + 4, stats

@@ -339,3 +339,43 @@ def test_bucketed_cell_join_no_shuffle(spark, world, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_index")
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
+
+
+def test_subtract_by_region_both_paths(spark):
+    """J3 API surface: empty-right regions pass through with zero decode
+    (bbox columns reused, canonical order kept); non-empty right subtracts."""
+    sq = kwkb.polygon([(0, 0), (4, 0), (4, 4), (0, 4)])
+    hole_right = kwkb.polygon([(1, 1), (2, 1), (2, 2), (1, 2)])
+    from geopull_spark.operators.normalize import _part_rows
+    from geopull_spark.kernels import wkb as _w
+
+    rows = _part_rows("AAA", [_w.loads(sq)]) + _part_rows("BBB", [_w.loads(sq)])
+    land = spark.createDataFrame(
+        rows, ["region_code", "part_id", "geometry", "minx", "miny", "maxx", "maxy"]
+    )
+    other = spark.createDataFrame([("BBB", bytearray(hole_right))], ["region_code", "geometry"])
+    out = normalize.subtract_by_region(land, other).collect()
+    by_region = {r["region_code"]: r for r in out}
+    # AAA untouched: byte-identical geometry, bbox preserved
+    assert bytes(by_region["AAA"]["geometry"]) == bytes(rows[0][2])
+    assert by_region["AAA"]["maxx"] == 4.0
+    # BBB lost the hole's area
+    a_bbb = karea.wkb_area_m2(bytes(by_region["BBB"]["geometry"]))
+    a_aaa = karea.wkb_area_m2(bytes(by_region["AAA"]["geometry"]))
+    assert a_bbb < a_aaa
+
+
+def test_media_decode_truncated_raises_valueerror():
+    """ADVICE r3: truncated/malformed chunk headers raise the documented
+    ValueError, never struct.error."""
+    from geopull_spark.kernels.png import png_decode, wav_decode, png_encode, wav_encode
+
+    good_png = png_encode(np.zeros((4, 4, 3), dtype=np.uint8))
+    good_wav = wav_encode(np.zeros(16, dtype=np.int16))
+    for buf in [good_png[:10], good_png[:20],
+                good_png[:8] + b"\xff\xff\xff\xff12345678"]:
+        with pytest.raises(ValueError):
+            png_decode(buf)
+    for buf in [good_wav[:14], good_wav[:20], good_wav[:30]]:
+        with pytest.raises(ValueError):
+            wav_decode(buf)
