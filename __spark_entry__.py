@@ -374,6 +374,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=5, threshold=0.3)
 
 
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r3 #6 — the LSH recall property checked against an independent
+    engine: every exact n-gram-Jaccard pair at/above the LSH design threshold
+    must appear among the MinHash band candidates. Spark returns the
+    high-Jaccard pairs INNER-semi-joined with the candidate set; the oracle
+    returns the high-Jaccard pairs alone. The results hash-match iff the
+    candidate set is a superset (a recall miss drops a row here → RED)."""
+    from geopull_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jac = ngram_jaccard_pairs(d, n=5, threshold=0.5).select("doc_a", "doc_b", "jaccard")
+    cands = minhash_lsh_pairs(d, n_bands=8)
+    return jac.join(cands, ["doc_a", "doc_b"], "left_semi")
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup verdict over the exact n-gram Jaccard pair
     graph: one canonical doc (min id) per near-dup cluster. Iterative
@@ -601,6 +616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "ann_cosine": q_ann_cosine,
     "minhash_neardup": q_minhash_neardup,
+    "minhash_containment": q_minhash_containment,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_groups": q_dedup_groups,
     "simhash_neardup": q_simhash_neardup,
@@ -787,6 +803,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT) AS n_the,
                    length(text) AS n_chars_actual
             FROM documents
+        """,
+        "minhash_containment": """
+            WITH grams AS (
+              SELECT DISTINCT d.doc_id AS doc, substr(d.text, CAST(s.i AS INT) + 1, 5) AS gram
+              FROM documents d JOIN (SELECT i FROM range(0, 100000) t(i)) s
+                ON s.i <= greatest(length(d.text) - 5, 0)
+            ), sizes AS (SELECT doc, count(*) AS sz FROM grams GROUP BY doc),
+            inter AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc < b.doc
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc = inter.doc_a
+                       JOIN sizes sb ON sb.doc = inter.doc_b
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
         """,
         "ngram_jaccard": """
             WITH grams AS (

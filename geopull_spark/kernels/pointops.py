@@ -105,3 +105,85 @@ def segments_intersect_bbox(seg: np.ndarray, minx, miny, maxx, maxy) -> np.ndarr
     sy0 = np.minimum(seg[:, 1], seg[:, 3])
     sy1 = np.maximum(seg[:, 1], seg[:, 3])
     return (sx1 >= minx) & (sx0 <= maxx) & (sy1 >= miny) & (sy0 <= maxy)
+
+
+def build_edge_soup(geoms: list) -> tuple[np.ndarray, ...]:
+    """Flatten a list of (Multi)Polygons into one concatenated edge table for
+    :func:`points_in_geoms`: (x0, y0, x1, y1, start) where geometry i owns
+    edge rows start[i]:start[i+1]. ``None`` entries own zero edges.
+
+    Built once per refine group so the PIP over all (candidate, block) pairs
+    runs as ONE vectorized pass — profiling (round 4) showed the per-block
+    formulation spent ~65% of the refine kernel in fixed numpy call overhead
+    (~15 tiny-array ops + an errstate context per ring at ~50 candidates per
+    block), not in arithmetic."""
+    xs0, ys0, xs1, ys1 = [], [], [], []
+    start = np.zeros(len(geoms) + 1, dtype=np.int64)
+    total = 0
+    for i, geom in enumerate(geoms):
+        if geom is not None:
+            gtype, payload = geom
+            if gtype == "Polygon":
+                rings = payload
+            elif gtype == "MultiPolygon":
+                rings = [ring for part in payload for ring in part]
+            else:
+                raise ValueError(f"points_in_geoms expects polygons, got {gtype}")
+            for ring in rings:
+                ring = np.asarray(ring)
+                if len(ring) >= 2:
+                    xs0.append(ring[:-1, 0]); ys0.append(ring[:-1, 1])
+                    xs1.append(ring[1:, 0]); ys1.append(ring[1:, 1])
+                    total += len(ring) - 1
+        start[i + 1] = total
+    if total == 0:
+        z = np.zeros(0, dtype=np.float64)
+        return z, z, z, z, start
+    return (np.concatenate(xs0), np.concatenate(ys0),
+            np.concatenate(xs1), np.concatenate(ys1), start)
+
+
+def points_in_geoms(px: np.ndarray, py: np.ndarray, gid: np.ndarray,
+                    soup: tuple[np.ndarray, ...]) -> np.ndarray:
+    """Vectorized PIP for many (point, geometry) pairs at once: row r tests
+    point (px[r], py[r]) against geometry gid[r] of the edge soup.
+
+    Even-odd parity over ALL rings of the geometry (exterior + holes +
+    multipolygon parts in one count) — equivalent to the per-ring
+    inside(ext) & ~inside(hole) composition for valid geometries (holes
+    inside shells, disjoint parts), which blocks are by construction.
+    The crossing test computes the exact same float64 expression per
+    (point, edge) lane as :func:`points_in_ring`, restricted to straddling
+    lanes — results are bit-identical to the per-ring kernel (verified on
+    the frozen assignment dataset).
+    """
+    ex0, ey0, ex1, ey1, start = soup
+    n = len(px)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    cnt = start[gid + 1] - start[gid]
+    csum = np.cumsum(cnt)
+    total = int(csum[-1])
+    if total == 0:
+        return np.zeros(n, dtype=bool)
+    # one variable-count repeat + a gather (np.repeat with per-element counts
+    # is the expensive primitive here — profiled r4)
+    pair_row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    base = start[gid] - (csum - cnt)  # per-row: edge_start - pair_offset
+    pair_edge = np.arange(total, dtype=np.int64) + base[pair_row]
+    y0 = ey0[pair_edge]
+    y1 = ey1[pair_edge]
+    ppy = py[pair_row]
+    strad = (y0 > ppy) != (y1 > ppy)
+    s = np.flatnonzero(strad)
+    if len(s) == 0:
+        return np.zeros(n, dtype=bool)
+    pe = pair_edge[s]
+    pr = pair_row[s]
+    x0 = ex0[pe]
+    dy = ey1[pe] - ey0[pe]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x0 + (py[pr] - ey0[pe]) * (ex1[pe] - x0) / dy
+    hits = px[pr] < xin
+    crossings = np.bincount(pr[hits], minlength=n)
+    return (crossings % 2).astype(bool)

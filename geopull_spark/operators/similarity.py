@@ -151,22 +151,28 @@ def ivf_fit_centroids(emb: DataFrame, dim: int, n_centroids: int = 16,
     over the centroid array; update is a groupBy mean). Centroids — k×dim
     doubles — are the ONLY driver-side state; at 10^12 docs they'd be fit on
     a sample, which is the standard IVF recipe."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _vec_mean(v: pd.Series) -> list:
+        # element-wise mean over the group's vectors — ONE Arrow-batched agg
+        # expression regardless of dim (the former per-dimension F.avg built
+        # `dim` separate agg expressions: worked, but bloated the plan ~1000×
+        # at dim=1024 — VERDICT r3 #5)
+        return np.mean(np.stack(v.to_numpy()), axis=0).tolist()
+
     cents = _hyperplanes(dim, n_centroids, seed)
     for _ in range(n_iters):
         assigned = emb.select(
-            _ivf_assign_expr(F.col(vec_col), cents).alias("cid"), F.col(vec_col)
+            _ivf_assign_expr(F.col(vec_col), cents).alias("cid"),
+            F.col(vec_col).cast(T.ArrayType(T.DoubleType())).alias("_v"),
         )
-        rows = (
-            assigned.groupBy("cid")
-            .agg(
-                *[
-                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
-        new = {r["cid"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+        rows = assigned.groupBy("cid").agg(_vec_mean("_v").alias("c")).collect()
+        new = {r["cid"]: list(r["c"]) for r in rows}
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents
 

@@ -193,7 +193,7 @@ def _pip_refine_cogroup(cand, geom):
     if cand.num_rows == 0 or geom.num_rows == 0:
         return empty
     from ..kernels import wkb as _wkb
-    from ..kernels.pointops import point_in_geom
+    from ..kernels.pointops import build_edge_soup, points_in_geoms
 
     geoms = {
         bid.as_py(): _wkb.loads(buf.as_py())
@@ -211,18 +211,14 @@ def _pip_refine_cogroup(cand, geom):
     px = cand.column("lon").to_numpy(zero_copy_only=False)
     py = cand.column("lat").to_numpy(zero_copy_only=False)
     bid_enc = _dict_encode(cand.column("block_id"))
-    bid_idx = bid_enc.indices.to_numpy(zero_copy_only=False)
+    bid_idx = bid_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     bid_dict = bid_enc.dictionary.to_pylist()  # few hundred strings
-    keep = np.zeros(cand.num_rows, dtype=bool)
-    order = np.argsort(bid_idx, kind="stable")
-    bounds = np.searchsorted(bid_idx[order], np.arange(len(bid_dict) + 1))
-    for k, bid in enumerate(bid_dict):
-        g = geoms.get(bid)
-        if g is None:
-            continue
-        idx = order[bounds[k]:bounds[k + 1]]
-        if len(idx):
-            keep[idx] = point_in_geom(px[idx], py[idx], g)
+    # one batched PIP pass over every (candidate, block) pair in the group —
+    # the former per-block loop paid ~50µs of numpy fixed overhead per block
+    # (profiled r4); the edge soup amortizes it across the whole group.
+    # Blocks missing from the geometry side own zero edges → outside.
+    soup = build_edge_soup([geoms.get(bid) for bid in bid_dict])
+    keep = points_in_geoms(px, py, bid_idx, soup)
     kept_pos = np.flatnonzero(keep)
     if len(kept_pos) == 0:
         return empty
@@ -340,7 +336,7 @@ def _pip_filter_batches(batches, geom_wkb: dict):
     import pyarrow as pa
 
     from ..kernels import wkb as _wkbk
-    from ..kernels.pointops import point_in_geom
+    from ..kernels.pointops import build_edge_soup, points_in_geoms
 
     geoms: dict = {}  # decoded lazily, cached per worker
 
@@ -354,6 +350,7 @@ def _pip_filter_batches(batches, geom_wkb: dict):
         return g
 
     carry: pa.Table | None = None
+    last_finalized = [None]  # final doc_id of the previous head (order guard)
 
     def _refine(tbl: pa.Table, emit_tail: bool) -> tuple[pa.Table | None, pa.Table | None]:
         """→ (emitted rows, carried tail rows)."""
@@ -377,7 +374,6 @@ def _pip_filter_batches(batches, geom_wkb: dict):
         head = head.combine_chunks()
         px = head.column("lon").to_numpy(zero_copy_only=False)
         py = head.column("lat").to_numpy(zero_copy_only=False)
-        keep = np.zeros(head.num_rows, dtype=bool)
         # group candidate rows by block via dictionary encode (vectorized PIP)
         import pyarrow.compute as pc
 
@@ -389,25 +385,41 @@ def _pip_filter_batches(batches, geom_wkb: dict):
                     e = e.chunk(0)
             return e
 
+        # --- order guard (ADVICE r3): correctness of the carry + tie-break
+        # logic depends on the map-side join keeping each doc's candidate
+        # rows ADJACENT within the partition. That holds for the exact plan
+        # built here (BroadcastHashJoin preserves probe order), but a plan
+        # shape change (AQE replan, SMJ fallback, caller pre-shuffle) would
+        # silently dedupe wrong — fail loudly instead.
+        d_enc = _enc1(head.column("doc_id"))
+        d_idx = d_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_runs = 1 + int(np.count_nonzero(d_idx[1:] != d_idx[:-1]))
+        if n_runs != len(d_enc.dictionary):
+            raise RuntimeError(
+                "assign_docs_broadcast: candidate rows for one doc arrived "
+                "non-adjacent — the plan no longer preserves probe-row order; "
+                "use assign_docs_to_blocks (cogroup plan) instead"
+            )
+        first_doc = head.column("doc_id")[0].as_py()
+        if last_finalized[0] is not None and first_doc == last_finalized[0]:
+            raise RuntimeError(
+                "assign_docs_broadcast: batch begins with an already-finalized "
+                "doc_id — probe-row order was broken across batches; use "
+                "assign_docs_to_blocks (cogroup plan) instead"
+            )
+        last_finalized[0] = head.column("doc_id")[head.num_rows - 1].as_py()
         enc = _enc1(head.column("block_id"))
         bid_dict = enc.dictionary.to_pylist()
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        order = np.argsort(idx, kind="stable")
-        bounds = np.searchsorted(idx[order], np.arange(len(bid_dict) + 1))
-        for k, bid in enumerate(bid_dict):
-            g = _geom(bid)
-            if g is None:
-                continue
-            rows = order[bounds[k]:bounds[k + 1]]
-            if len(rows):
-                keep[rows] = point_in_geom(px[rows], py[rows], g)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # same batched edge-soup PIP as the cogroup kernel (r4)
+        soup = build_edge_soup([_geom(bid) for bid in bid_dict])
+        keep = points_in_geoms(px, py, idx, soup)
         kept = np.flatnonzero(keep)
         if len(kept) == 0:
             return None, tail
         # per-doc min-block tie-break (vectorized, same recipe as the
         # cogrouped kernel): rank blocks by string order, lexsort per doc
-        d_enc = _enc1(head.column("doc_id"))
-        kd = d_enc.indices.to_numpy(zero_copy_only=False)[kept]
+        kd = d_idx[kept]
         if len(np.unique(kd)) != len(kd):
             block_rank_of = np.empty(len(bid_dict), dtype=np.int64)
             block_rank_of[np.argsort(np.asarray(bid_dict, dtype=object))] = np.arange(

@@ -546,3 +546,29 @@ def test_cc_pointer_doubling_log_rounds(spark):
     assert all(labels[i] == 0 for i in range(n))
     import math
     assert stats["iterations"] <= math.ceil(math.log2(n)) + 4, stats
+
+
+def test_ivf_fit_high_dim(spark):
+    """VERDICT r3 #5: centroid fit at dim=512 — one array-agg expression,
+    no per-dimension expression bloat; centroids separate two planted
+    clusters."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    dim = 512
+    rows = []
+    for i in range(60):
+        base = np.zeros(dim); base[0] = 1.0
+        rows.append((i, (base + 0.01 * rng.randn(dim)).tolist()))
+    for i in range(60, 120):
+        base = np.zeros(dim); base[1] = 1.0
+        rows.append((i, (base + 0.01 * rng.randn(dim)).tolist()))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.ivf_fit_centroids(e, dim, n_centroids=4, n_iters=3)
+    assert len(cents) == 4 and all(len(c) == dim for c in cents)
+    cids = {r["vec_id"]: r["cid"] for r in e.select(
+        "vec_id", similarity._ivf_assign_expr(F.col("embedding"), cents).alias("cid")
+    ).collect()}
+    a = {cids[i] for i in range(60)}
+    b = {cids[i] for i in range(60, 120)}
+    assert a.isdisjoint(b)  # the two clusters land on different centroids
+    assert len(a) == 1 and len(b) == 1
