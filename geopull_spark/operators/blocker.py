@@ -249,22 +249,88 @@ def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFr
     return _geohash_blocks(blocks, areas, region)
 
 
-def build_blocks(land: DataFrame, lines: DataFrame) -> DataFrame:
+def build_blocks(land: DataFrame, lines: DataFrame, route: str = "auto") -> DataFrame:
     """land parts + extracted linestrings → blocks.
 
     One geometry kernel per (region, land_part): lines are routed to parts by
-    a broadcast bbox join (a part's bbox table is tiny — #parts rows), each
-    part polygonizes independently, then the block IDs are assigned by a
+    a bbox join (literal-broadcast part boxes when parts are few; cell-key
+    equi-join above ``PART_BROADCAST_MAX`` parts — see ``build_blocks_pre``),
+    each part polygonizes independently, then the block IDs are assigned by a
     region-wide window (georank = cumcount within (region, geohash) ordered
     by canonical WKB — the reference's sort+cumcount at blocker.py:296-322,
     bit-identical to the r1 per-region kernel output)."""
-    return assign_block_ids(build_blocks_pre(land, lines))
+    return assign_block_ids(build_blocks_pre(land, lines, route=route))
 
 
-def build_blocks_pre(land: DataFrame, lines: DataFrame) -> DataFrame:
+# Above this many land parts the literal-broadcast line→part routing (a
+# driver collect + literal relation) stops being "tiny metadata": an
+# archipelago world (Indonesia/Norway at 100×) has 10⁴-10⁵ parts and the
+# collected rows bloat the plan. The cell-key equi-join route takes over
+# (VERDICT r3 #3). 8192 rows × 6 scalars ≈ 400 KB literal — comfortably
+# below Spark's plan-size pain threshold; both paths are block-identical
+# (tested on a ≥10⁴-part region).
+PART_BROADCAST_MAX = 8192
+ROUTE_RES = 7  # ~2.8° routing tiles; with_cover_cells lowers per-row for giants
+
+
+def _route_lines_to_parts_cells(land: DataFrame, lines: DataFrame) -> DataFrame:
+    """Scale-safe line→part routing: cover both bboxes with equal-area cells
+    and equi-join on (region, cell) — no driver-side part state. Same output
+    rows as the broadcast-bbox path: (l_region, l_part, l_geometry), one row
+    per (line, bbox-overlapping part)."""
+    from ..functions import cellexpr
+
+    part_cells = cellexpr.with_cover_cells(
+        land.select(
+            F.col("region_code").alias("p_region"), F.col("part_id").alias("p_part"),
+            F.col("minx").alias("p_minx"), F.col("miny").alias("p_miny"),
+            F.col("maxx").alias("p_maxx"), F.col("maxy").alias("p_maxy"),
+        ),
+        ROUTE_RES,
+        minx="p_minx", miny="p_miny", maxx="p_maxx", maxy="p_maxy",
+    )
+    res_list = sorted(
+        r["cell_res"] for r in part_cells.select("cell_res").distinct().collect()
+    )
+    l = lines.select("region_code", "geometry", "minx", "miny", "maxx", "maxy").withColumn(
+        "_lid", F.monotonically_increasing_id()
+    )
+    line_cells = None
+    for r in res_list:
+        lc = cellexpr.with_cover_cells(l, r, target=None).select(
+            "region_code", "_lid", "geometry", "minx", "miny", "maxx", "maxy", "cell"
+        )
+        line_cells = lc if line_cells is None else line_cells.unionByName(lc)
+    return (
+        line_cells.join(
+            part_cells.select("p_region", "p_part", "p_minx", "p_miny", "p_maxx", "p_maxy", "cell"),
+            (F.col("region_code") == F.col("p_region")) & (line_cells["cell"] == part_cells["cell"]),
+        )
+        .filter(
+            (F.col("minx") <= F.col("p_maxx")) & (F.col("maxx") >= F.col("p_minx"))
+            & (F.col("miny") <= F.col("p_maxy")) & (F.col("maxy") >= F.col("p_miny"))
+        )
+        .select(
+            F.col("region_code").alias("l_region"),
+            F.col("p_part").alias("l_part"),
+            F.col("_lid"),
+            F.col("geometry").alias("l_geometry"),
+        )
+        .dropDuplicates(["l_region", "l_part", "_lid"])
+        .drop("_lid")
+    )
+
+
+def build_blocks_pre(land: DataFrame, lines: DataFrame,
+                     route: str = "auto") -> DataFrame:
     """The cogroup half of build_blocks: blocks WITHOUT ids (geohash + geometry
     + stats). Exposed so stage-level profiling/benchmarks can attribute time
-    between the geometry kernels and the id window."""
+    between the geometry kernels and the id window.
+
+    ``route``: how lines reach their land parts — ``"broadcast"`` (driver
+    literal of part bboxes; fastest when parts are few), ``"cells"``
+    (distributed cell-key equi-join; no driver state, the 100 TB shape), or
+    ``"auto"`` (broadcast up to ``PART_BROADCAST_MAX`` parts, cells above)."""
     if "minx" not in land.columns:
         # externally-sourced land without bbox columns: one Arrow pass. The
         # normalize stage emits them in-kernel, so the pipeline path never
@@ -281,36 +347,52 @@ def build_blocks_pre(land: DataFrame, lines: DataFrame) -> DataFrame:
                 F.col("_bb.maxx").alias("maxx"), F.col("_bb.maxy").alias("maxy"),
             )
         )
-    land = land.select("region_code", "part_id", "geometry", "minx", "miny", "maxx", "maxy")
-    # materialize the part-bbox dim table driver-side before broadcasting:
-    # it has one row per land part (tiny by construction — the same rows a
-    # BroadcastExchange would collect anyway), and broadcasting a subtree
-    # that contains Python-eval stages makes Spark re-execute that lineage
-    # on every query run (measured 7-13s per execution at 32 cores vs 0.5s
-    # for the literal relation)
-    spark = land.sparkSession
-    pb_rows = land.select(
-        "region_code", "part_id", "minx", "miny", "maxx", "maxy"
-    ).collect()
-    part_boxes = F.broadcast(
-        spark.createDataFrame(
-            [tuple(r) for r in pb_rows],
-            "p_region string, p_part int, p_minx double, p_miny double, p_maxx double, p_maxy double",
-        )
+    # normalize the key dtype: externally-built land frames may carry int64
+    # part ids while the literal part-box relation (and LAND_SCHEMA) use
+    # int32 — a dtype mismatch between the cogroup sides would silently
+    # route every line into an empty group
+    land = land.select(
+        "region_code", F.col("part_id").cast("int").alias("part_id"),
+        "geometry", "minx", "miny", "maxx", "maxy",
     )
-    lines_parts = (
-        lines.select("region_code", "geometry", "minx", "miny", "maxx", "maxy")
-        .join(part_boxes, F.col("region_code") == F.col("p_region"), "inner")
-        .filter(
-            (F.col("minx") <= F.col("p_maxx")) & (F.col("maxx") >= F.col("p_minx"))
-            & (F.col("miny") <= F.col("p_maxy")) & (F.col("maxy") >= F.col("p_miny"))
+    if route == "auto":
+        # one tiny aggregate decides the path; no geometry leaves the cluster
+        n_parts = land.count()
+        route = "broadcast" if n_parts <= PART_BROADCAST_MAX else "cells"
+    if route == "cells":
+        lines_parts = _route_lines_to_parts_cells(land, lines)
+    elif route == "broadcast":
+        # materialize the part-bbox dim table driver-side before broadcasting:
+        # it has one row per land part (tiny under PART_BROADCAST_MAX — the
+        # same rows a BroadcastExchange would collect anyway), and
+        # broadcasting a subtree that contains Python-eval stages makes Spark
+        # re-execute that lineage on every query run (measured 7-13s per
+        # execution at 32 cores vs 0.5s for the literal relation)
+        spark = land.sparkSession
+        pb_rows = land.select(
+            "region_code", "part_id", "minx", "miny", "maxx", "maxy"
+        ).collect()
+        part_boxes = F.broadcast(
+            spark.createDataFrame(
+                [tuple(r) for r in pb_rows],
+                "p_region string, p_part int, p_minx double, p_miny double, p_maxx double, p_maxy double",
+            )
         )
-        .select(
-            F.col("region_code").alias("l_region"),
-            F.col("p_part").alias("l_part"),
-            F.col("geometry").alias("l_geometry"),
+        lines_parts = (
+            lines.select("region_code", "geometry", "minx", "miny", "maxx", "maxy")
+            .join(part_boxes, F.col("region_code") == F.col("p_region"), "inner")
+            .filter(
+                (F.col("minx") <= F.col("p_maxx")) & (F.col("maxx") >= F.col("p_minx"))
+                & (F.col("miny") <= F.col("p_maxy")) & (F.col("maxy") >= F.col("p_miny"))
+            )
+            .select(
+                F.col("region_code").alias("l_region"),
+                F.col("p_part").alias("l_part"),
+                F.col("geometry").alias("l_geometry"),
+            )
         )
-    )
+    else:
+        raise ValueError(f"unknown route {route!r} (auto|broadcast|cells)")
     # Wide EXPLICIT repartition on the group keys before the cogroup: the
     # kernel stage is tiny-bytes/huge-CPU, so it needs far more partitions
     # than a byte-sized shuffle would get — 16× parallelism cuts the

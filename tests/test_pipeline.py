@@ -379,3 +379,44 @@ def test_media_decode_truncated_raises_valueerror():
     for buf in [good_wav[:14], good_wav[:20], good_wav[:30]]:
         with pytest.raises(ValueError):
             wav_decode(buf)
+
+
+def test_many_part_region_routes_identically(spark):
+    """VERDICT r3 #3: an archipelago-shaped region (10⁴ land parts) must
+    build identical blocks via the literal-broadcast line→part routing and
+    the scale-safe cell-key equi-join routing (no driver-side part state)."""
+    import numpy as np
+    from geopull_spark.operators.normalize import _part_rows
+    from geopull_spark.operators import blocker as bk
+
+    n_parts = 10_000
+    side = 100  # 100×100 grid of islands
+    rows = []
+    geoms = []
+    for i in range(n_parts):
+        gx, gy = i % side, i // side
+        x0, y0 = gx * 0.02, gy * 0.02  # islands 0.01° wide, 0.01° apart
+        geoms.append(kwkb.loads(kwkb.polygon(
+            [(x0, y0), (x0 + 0.01, y0), (x0 + 0.01, y0 + 0.01), (x0, y0 + 0.01)]
+        )))
+    rows = _part_rows("ARC", geoms)
+    land = spark.createDataFrame(
+        rows, ["region_code", "part_id", "geometry", "minx", "miny", "maxx", "maxy"]
+    ).repartition(8)
+    # a few streets crossing island rows (each line spans several parts)
+    line_rows = []
+    for j in range(40):
+        y = 0.005 + 0.02 * (j % side)
+        g = kwkb.linestring([(0.0, y), (1.0, y)])
+        line_rows.append(("ARC", bytearray(g), 0.0, y, 1.0, y))
+    lines = spark.createDataFrame(
+        line_rows, ["region_code", "geometry", "minx", "miny", "maxx", "maxy"]
+    )
+    a = sorted((r["block_id"], bytes(r["geometry"])) for r in
+               bk.build_blocks(land, lines, route="broadcast").collect())
+    b = sorted((r["block_id"], bytes(r["geometry"])) for r in
+               bk.build_blocks(land, lines, route="cells").collect())
+    assert len(a) > 0
+    assert a == b
+    # auto picks the cells path above the threshold
+    assert n_parts > bk.PART_BROADCAST_MAX
