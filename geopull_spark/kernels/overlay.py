@@ -217,34 +217,68 @@ def make_valid(geom) -> list:
     empty), holes touching the shell at a point (valid — preserved), and
     mixed-dimension collections (non-polygon parts pass through untouched).
 
-    Documented subset vs full GEOS: MultiPolygon parts are repaired
-    INDEPENDENTLY (two mutually-overlapping shells stay overlapping — GEOS
-    linework would even-odd them against each other), and exact snap-grid
-    noding differs from GEOS's floating noder in the last ulp. Reference F3
+    Round 4: MultiPolygon parts whose bboxes interact are now repaired
+    JOINTLY — their rings enter one arrangement and faces classify even-odd
+    against the combined linework, so two mutually-overlapping shells
+    resolve the GEOS-linework way (the doubly-covered region has even
+    winding → becomes a hole). Parts that don't interact (bbox-disjoint from
+    every other part) keep the old byte-stable path: simple parts pass
+    through untouched, non-simple parts repair individually.
+
+    Remaining documented divergence vs full GEOS (enumerated, each with a
+    golden test): exact snap-grid noding (1e-9°) can differ from GEOS's
+    floating noder in the last ulp of an intersection coordinate —
+    test_make_valid_snap_noding_golden pins OUR semantics. Reference F3
     (``blocker.py:119`` etc.)."""
     if geom is None:
         return []
     out = []
+    poly_parts = []
     for part in wkb.get_parts(geom):
-        gtype, payload = part
-        if gtype != "Polygon":
+        if part[0] != "Polygon":
             out.append(part)
+        else:
+            poly_parts.append(part)
+    if not poly_parts:
+        return out
+
+    # group polygon parts by bbox interaction (transitive closure): only
+    # interacting parts pay the joint-arrangement cost or lose byte identity
+    n = len(poly_parts)
+    boxes = [wkb.bounds(p) for p in poly_parts]
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = boxes[i], boxes[j]
+            if a[0] <= b[2] and a[2] >= b[0] and a[1] <= b[3] and a[3] >= b[1]:
+                parent[find(i)] = find(j)
+    groups: dict[int, list] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(poly_parts[i])
+
+    from .pointops import points_in_ring
+
+    for members in groups.values():
+        if len(members) == 1 and is_simple_polygon(members[0][1]):
+            out.append(members[0])
             continue
-        if is_simple_polygon(payload):
-            out.append(part)
-            continue
-        segs = geoms_to_segments([part])
+        all_rings = [np.asarray(r) for _, rings in members for r in rings]
+        segs = geoms_to_segments(members)
         noded = node_segments(segs)
         faces = extract_faces(noded)
         if not faces:
             continue
         reps = np.array([representative_point(f) for f in faces])
-        # even-odd against the original ring set (handles self-intersection)
-        from .pointops import points_in_ring
-
+        # even-odd against the group's combined ring set
         crossings = np.zeros(len(faces), dtype=np.int64)
-        for ring in payload:
-            r = np.asarray(ring)
+        for r in all_rings:
             crossings += points_in_ring(reps[:, 0], reps[:, 1], r).astype(np.int64)
         inside = (crossings % 2) == 1
         kept = [faces[i] for i in np.flatnonzero(inside)]
