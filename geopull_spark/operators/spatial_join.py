@@ -239,7 +239,7 @@ def _pip_refine_cogroup(cand, geom):
 
 def assign_docs_to_blocks(
     docs: DataFrame,
-    blocks: DataFrame,
+    blocks: DataFrame | None,
     block_cells: DataFrame | None = None,
     salt_k: int = 0,
     broadcast_index: bool = False,
@@ -256,8 +256,19 @@ def assign_docs_to_blocks(
     Default is a shuffle join on cell; ``broadcast_index=True`` broadcasts the
     narrow index (keys only — viable for modest block counts, unlike the r1
     WKB-carrying index that measured 3.8× slower broadcast).
+
+    ``blocks`` may be None when BOTH ``block_cells`` and ``geom_cells`` are
+    supplied (the steady-state path: both sides pre-built, e.g. from bucketed
+    tables — see :func:`prepare_bucketed_assignment`).
     """
-    blocks = _ensure_bbox(blocks)
+    if blocks is None:
+        if block_cells is None or geom_cells is None:
+            raise ValueError(
+                "assign_docs_to_blocks: blocks=None requires both block_cells "
+                "and geom_cells"
+            )
+    else:
+        blocks = _ensure_bbox(blocks)
     if block_cells is None:
         block_cells = build_block_cell_index(blocks, res)
     res_list = index_res_list(block_cells)
@@ -741,3 +752,42 @@ def knn_blocks(blocks: DataFrame, k: int = 4, res: int = 7,
         "block_id", F.col("rep_lon").alias("lon"), F.col("rep_lat").alias("lat")
     )
     return knn_points(pts, k=k, res=res, id_col="block_id", max_ring=max_ring)
+
+
+# ---------------------------------------------------------------------------
+# steady-state bucketed assignment (VERDICT r3 #8)
+# ---------------------------------------------------------------------------
+
+
+def prepare_bucketed_assignment(blocks: DataFrame, prefix: str = "assign",
+                                n_buckets: int = 64, res: int = INDEX_RES) -> None:
+    """Persist the two blocks-side inputs of the assignment join as BUCKETED
+    tables, hashed on their join/group keys:
+
+      {prefix}_block_cells — narrow cell index, bucketed+sorted by ``cell``
+      {prefix}_refine_geom — refine geometry, bucketed by ``g_pcell``
+
+    Steady-state ingestion (continuous doc batches against a slowly-changing
+    blocks snapshot — the streaming path's batch analog) then reads these via
+    :func:`assign_docs_steady`: the blocks side of BOTH the cell equi-join
+    and the refine cogroup arrives pre-partitioned from disk, so only the
+    incoming doc batch shuffles. Rebuild whenever the blocks snapshot
+    changes (cheap relative to ingestion volume)."""
+    from ..sources.bucketed import write_bucketed
+
+    blocks = _ensure_bbox(blocks)
+    write_bucketed(build_block_cell_index(blocks, res),
+                   f"{prefix}_block_cells", ["cell"], n_buckets, sort_cols=["cell"])
+    write_bucketed(build_refine_geometry(blocks),
+                   f"{prefix}_refine_geom", ["g_pcell"], n_buckets)
+
+
+def assign_docs_steady(docs: DataFrame, prefix: str = "assign",
+                       salt_k: int = 0) -> DataFrame:
+    """Doc→block assignment against the bucketed tables written by
+    :func:`prepare_bucketed_assignment` — identical rows to
+    :func:`assign_docs_to_blocks` (tested), blocks-side shuffle-free."""
+    spark = docs.sparkSession
+    bc = spark.table(f"{prefix}_block_cells")
+    geom = spark.table(f"{prefix}_refine_geom")
+    return assign_docs_to_blocks(docs, None, bc, salt_k=salt_k, geom_cells=geom)

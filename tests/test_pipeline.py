@@ -420,3 +420,37 @@ def test_many_part_region_routes_identically(spark):
     assert a == b
     # auto picks the cells path above the threshold
     assert n_parts > bk.PART_BROADCAST_MAX
+
+
+def test_assign_docs_steady_bucketed_identical(spark, world):
+    """VERDICT r3 #8: the steady-state bucketed assignment path (blocks-side
+    inputs read pre-partitioned from bucketed tables) returns IDENTICAL rows
+    to the direct plan, and the blocks-side exchanges disappear from the
+    candidate join."""
+    docs = synth.interleaved_documents(spark, SF).select("doc_id", "lon", "lat")
+    try:
+        spatial_join.prepare_bucketed_assignment(world["blocks"], prefix="t_steady", n_buckets=8)
+        steady = sorted(
+            (r["doc_id"], r["block_id"])
+            for r in spatial_join.assign_docs_steady(docs, prefix="t_steady").collect()
+        )
+        direct = sorted(
+            (r["doc_id"], r["block_id"])
+            for r in spatial_join.assign_docs_to_blocks(docs, world["blocks"]).collect()
+        )
+        assert steady == direct and len(steady) > 0
+        # the bucketed index side of the candidate join must not re-shuffle:
+        # its table scan appears with no Exchange directly above it
+        bc = spark.table("t_steady_block_cells")
+        d = spatial_join.docs_with_cell(docs)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = d.join(bc.select("cell", "block_id"), "cell")._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # exactly one Exchange (the doc side); the bucketed side has none
+        assert plan.count("Exchange") == 1, plan[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_steady_block_cells")
+        spark.sql("DROP TABLE IF EXISTS t_steady_refine_geom")
