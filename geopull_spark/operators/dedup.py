@@ -61,7 +61,7 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
-                      id_col: str = "doc_id", bucket_cap: int = 64) -> DataFrame:
+                      id_col: str = "doc_id", bucket_cap: int = 128) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ≥1 min-hash band.
 
     Scale-safe bucket handling (the crawl-data hot-bucket problem): empty /
@@ -121,7 +121,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
 
 
 def lsh_bucket_stats(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
-                     id_col: str = "doc_id", bucket_cap: int = 64) -> DataFrame:
+                     id_col: str = "doc_id", bucket_cap: int = 128) -> DataFrame:
     """Diagnostic: per-band bucket-size distribution + how many buckets the
     ``bucket_cap`` routed to the star path. Run eagerly before a large dedup
     to pick ``bucket_cap`` / decide whether to pre-strip exact dups."""
@@ -160,7 +160,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def simhash_neardup(docs: DataFrame, max_hamming: int = 8, text_col: str = "text",
-                    id_col: str = "doc_id", bucket_cap: int = 64) -> DataFrame:
+                    id_col: str = "doc_id", bucket_cap: int = 128) -> DataFrame:
     """Near-dup pairs by SimHash: band on 16-bit chunks (pigeonhole: hamming
     ≤ 3 guarantees a shared chunk of 4; ≤ max_hamming is refined exactly via
     bit_count), then exact hamming filter.
