@@ -94,14 +94,17 @@ def materialize_media(docs: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode media bytes → typed metadata.
 
-    Default is the REAL decode path: PNG via the stdlib-zlib numpy codec
-    (width/height + mean decoded luma), WAV PCM16 via the RIFF parser
-    (duration from sample count / rate). Bytes in a format with no stdlib
-    decoder (JPEG, MP3, video) raise ``NotImplementedError`` — honestly
-    stubbed, PIL/ffmpeg are not in this container. ``fake=True`` derives
-    metadata from raw bytes without decoding (plumbing-only tests)."""
+    Default is the REAL decode path: PNG via the stdlib-zlib numpy codec,
+    baseline JPEG via the from-spec T.81 codec (``kernels/jpeg.py``, round
+    4) — width/height + mean decoded luma for both — and WAV PCM16 via the
+    RIFF parser (duration from sample count / rate). Formats with no
+    implemented decoder (progressive JPEG, MP3, video) raise
+    ``NotImplementedError`` — honestly stubbed, PIL/ffmpeg are not in this
+    container. ``fake=True`` derives metadata from raw bytes without
+    decoding (plumbing-only tests)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.jpeg import jpeg_decode
         from ..kernels.png import png_decode, wav_decode
 
         for pdf in batches:
@@ -119,14 +122,24 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     img = png_decode(b)
                     luma = float(np.round(img.astype(np.float64).mean(), 6))
                     rows.append((ref, kind, n, img.shape[1], img.shape[0], None, luma))
+                elif b[:2] == b"\xff\xd8":
+                    img = jpeg_decode(b)
+                    if img.ndim == 3:
+                        luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                                + 0.114 * img[..., 2])
+                    else:
+                        luma = img.astype(np.float64)
+                    rows.append((ref, kind, n, img.shape[1], img.shape[0], None,
+                                 float(np.round(luma.mean(), 6))))
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     samples, rate = wav_decode(b)
                     dur = int(round(1000.0 * len(samples) / rate))
                     rows.append((ref, kind, n, None, None, dur, None))
                 else:
                     raise NotImplementedError(
-                        "decode for non-PNG/WAV media (JPEG/MP3/video) requires "
-                        "PIL/ffmpeg — not in this container"
+                        "decode for non-PNG/WAV/baseline-JPEG media (MP3, "
+                        "video, progressive JPEG) requires ffmpeg/PIL — not "
+                        "in this container"
                     )
             yield pd.DataFrame(rows, columns=META_SCHEMA.fieldNames())
 

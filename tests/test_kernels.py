@@ -636,3 +636,49 @@ def test_make_valid_snap_noding_golden():
     verts = np.vstack([np.asarray(p[1][0]) for p in out])
     d = np.abs(verts - [expected_x, expected_y]).sum(axis=1)
     assert (d < 1e-15).sum() >= 2  # the snapped crossing appears in both lobes
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    """Baseline JPEG codec (r4): encode→decode reproduces smooth images
+    closely; exact dimensions on non-multiple-of-8 sizes."""
+    from geopull_spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    g = np.outer(np.linspace(0, 255, 45), np.ones(59)).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(g, 90))
+    assert out.shape == (45, 59)
+    assert np.abs(out.astype(float) - g).mean() < 2.0
+
+    x = np.linspace(0, 255, 59)
+    rgb = np.stack([np.tile(x, (45, 1)), np.tile(x[::-1], (45, 1)),
+                    np.full((45, 59), 128.0)], axis=-1).astype(np.uint8)
+    out3 = jpeg_decode(jpeg_encode(rgb, 90))
+    assert out3.shape == (45, 59, 3)
+    assert np.abs(out3.astype(float) - rgb).mean() < 3.0
+
+
+def test_jpeg_420_subsampled_decode():
+    """Decoder handles 2x2-sampled MCU layout (4:2:0) with odd dimensions."""
+    from geopull_spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    x = np.linspace(0, 255, 41)
+    rgb = np.stack([np.tile(x, (33, 1)), np.tile(x[::-1], (33, 1)),
+                    np.full((33, 41), 100.0)], axis=-1).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(rgb, 85, subsample="420"))
+    assert out.shape == (33, 41, 3)
+    assert np.abs(out.astype(float) - rgb).mean() < 6.0
+
+
+def test_jpeg_unsupported_and_malformed_raise():
+    from geopull_spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01not a jpeg")
+    # progressive frame marker (SOF2) → loud unsupported error
+    g = np.zeros((8, 8), dtype=np.uint8)
+    buf = bytearray(jpeg_encode(g, 85))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        jpeg_decode(bytes(buf))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff\xe0\x00\x00garbage")

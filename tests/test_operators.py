@@ -153,11 +153,12 @@ def test_multimodal_plumbing(spark):
 
 
 def test_decode_media_unsupported_format_raises(spark):
-    """Formats with no stdlib decoder (JPEG magic here) stay honestly
-    stubbed: NotImplementedError from inside the kernel."""
-    jpeg_like = bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"\0" * 32
+    """Formats with no implemented decoder (MP3 magic here; r4 moved JPEG to
+    the real-decode path) stay honestly stubbed: NotImplementedError from
+    inside the kernel."""
+    mp3_like = b"ID3\x04\x00" + b"\0" * 32
     media = spark.createDataFrame(
-        [("mX", "d0", "image", bytearray(jpeg_like))],
+        [("mX", "d0", "audio", bytearray(mp3_like))],
         "media_ref string, doc_id string, kind string, content binary",
     )
     with pytest.raises(Exception):  # NotImplementedError inside the kernel
