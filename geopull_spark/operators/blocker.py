@@ -355,10 +355,19 @@ def build_blocks_pre(land: DataFrame, lines: DataFrame,
         "region_code", F.col("part_id").cast("int").alias("part_id"),
         "geometry", "minx", "miny", "maxx", "maxy",
     )
+    pb_rows = None
     if route == "auto":
-        # one tiny aggregate decides the path; no geometry leaves the cluster
-        n_parts = land.count()
-        route = "broadcast" if n_parts <= PART_BROADCAST_MAX else "cells"
+        # the auto probe IS the broadcast path's collect, just capped: pull
+        # at most MAX+1 part-box rows (no geometry). ≤ MAX rows → we already
+        # hold the full literal relation (zero extra jobs vs plain
+        # broadcast); > MAX → archipelago, switch to the cell route.
+        probe = land.select(
+            "region_code", "part_id", "minx", "miny", "maxx", "maxy"
+        ).limit(PART_BROADCAST_MAX + 1).collect()
+        if len(probe) <= PART_BROADCAST_MAX:
+            route, pb_rows = "broadcast", probe
+        else:
+            route = "cells"
     if route == "cells":
         lines_parts = _route_lines_to_parts_cells(land, lines)
     elif route == "broadcast":
@@ -369,9 +378,10 @@ def build_blocks_pre(land: DataFrame, lines: DataFrame,
         # re-execute that lineage on every query run (measured 7-13s per
         # execution at 32 cores vs 0.5s for the literal relation)
         spark = land.sparkSession
-        pb_rows = land.select(
-            "region_code", "part_id", "minx", "miny", "maxx", "maxy"
-        ).collect()
+        if pb_rows is None:
+            pb_rows = land.select(
+                "region_code", "part_id", "minx", "miny", "maxx", "maxy"
+            ).collect()
         part_boxes = F.broadcast(
             spark.createDataFrame(
                 [tuple(r) for r in pb_rows],
