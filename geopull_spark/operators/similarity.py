@@ -151,18 +151,19 @@ def ivf_fit_centroids(emb: DataFrame, dim: int, n_centroids: int = 16,
     over the centroid array; update is a groupBy mean). Centroids — k×dim
     doubles — are the ONLY driver-side state; at 10^12 docs they'd be fit on
     a sample, which is the standard IVF recipe."""
-    import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     import numpy as np
 
-    @pandas_udf(T.ArrayType(T.DoubleType()))
-    def _vec_mean(v: pd.Series) -> list:
-        # element-wise mean over the group's vectors — ONE Arrow-batched agg
-        # expression regardless of dim (the former per-dimension F.avg built
-        # `dim` separate agg expressions: worked, but bloated the plan ~1000×
-        # at dim=1024 — VERDICT r3 #5)
+    # element-wise mean over the group's vectors — ONE Arrow-batched agg
+    # expression regardless of dim (the former per-dimension F.avg built
+    # `dim` separate agg expressions: worked, but bloated the plan ~1000×
+    # at dim=1024 — VERDICT r3 #5). Explicit functionType because this
+    # module's `from __future__ import annotations` turns hints into strings,
+    # which the grouped-agg signature inference rejects.
+    @pandas_udf(T.ArrayType(T.DoubleType()), PandasUDFType.GROUPED_AGG)
+    def _vec_mean(v):
         return np.mean(np.stack(v.to_numpy()), axis=0).tolist()
 
     cents = _hyperplanes(dim, n_centroids, seed)
