@@ -412,7 +412,18 @@ def build_blocks_pre(land: DataFrame, lines: DataFrame,
     # (one exchange per side — verified in PLANS.md). Measured at the 4×
     # world: 8-core cogroup 36.4s → 28.2s, 32-core → 13.9s, and 8→32
     # efficiency 0.25 → 0.51 (round 3).
-    np_ = land.sparkSession.sparkContext.defaultParallelism * 16
+    #
+    # Round 4: the overscan is sized to the KNOWN part count when the auto
+    # probe already fetched it — every Python task pays a measured
+    # ~0.2-0.25 s runner floor even when its partition is empty, so 512
+    # tasks for 48 groups burned ~2 s of pure overhead at the driver config.
+    # 2× groups keeps the straggler-tail benefit; the 16× ceiling returns
+    # as soon as groups ≥ 8× parallelism (the scaling worlds).
+    dp = land.sparkSession.sparkContext.defaultParallelism
+    if pb_rows is not None:
+        np_ = min(dp * 16, max(dp * 2, 2 * len(pb_rows)))
+    else:
+        np_ = dp * 16
     land_g = land.repartition(np_, "region_code", "part_id")
     lines_g = lines_parts.repartition(np_, "l_region", "l_part")
     return (
