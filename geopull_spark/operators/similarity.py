@@ -187,14 +187,34 @@ def _ivf_assign_expr(vec, cents: list[list[float]]):
     """argmax cosine centroid id as a JVM expression: centroids are
     unit-normalized driver-side, so dot(vec, ĉ) orders by cosine (the vector
     norm is a common factor). Ties break to the smallest centroid id —
-    deterministic."""
-    scored = [
-        F.struct(_dot(vec, F.array(*[F.lit(float(x)) for x in _unit(c)])).alias("s"),
-                 F.lit(-i).alias("negid"))
-        for i, c in enumerate(cents)
-    ]
-    best = F.array_max(F.array(*scored))
-    return (-best["negid"]).cast("int")
+    deterministic.
+
+    The centroid matrix enters the plan as ONE nested-array literal node
+    (round 4; the former per-centroid ``F.array(*[F.lit(x) ...])`` form
+    built k×dim literal nodes — 32k expression nodes at dim=1024/k=32).
+    Scoring and argmax are higher-order functions over that literal, so the
+    expression size is O(1) in both k and dim."""
+    C = F.lit([[float(x) for x in _unit(c)] for c in cents])
+    scored = F.zip_with(
+        C,
+        F.sequence(F.lit(0), F.size(C) - 1),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: a.cast("double") * b.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sc"),
+            i.alias("ci"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(float("-inf")).alias("sc"), F.lit(-1).alias("ci")),
+        lambda acc, e: F.when(
+            (e["sc"] > acc["sc"]) | ((e["sc"] == acc["sc"]) & (e["ci"] < acc["ci"])), e
+        ).otherwise(acc),
+    )
+    return best["ci"].cast("int")
 
 
 def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
