@@ -290,6 +290,44 @@ def assign_docs_to_blocks(
         bc_narrow = block_cells.select("cell", "block_id", "interior")
     else:
         bc_narrow = block_cells.select("cell", "block_id")
+    # -- co-partitioned single-shuffle plan (round 4) ----------------------
+    # pcell = parent(cell) is a pure function of the join key, so hashing
+    # BOTH join sides by pcell and joining on (pcell, cell) satisfies the
+    # join's ClusteredDistribution with hash(pcell) — and the refine
+    # cogroup's groupBy(pcell) then needs NO further exchange: the doc side
+    # crosses the wire exactly once (profiled r4: the old plan's
+    # join-then-regroup wrote+read ~200 MB of candidate rows per 2.5M docs
+    # in a second doc-side shuffle). Applies when every index cell is at or
+    # below pcell granularity (res ≥ PARENT_RES — true except for
+    # adaptive-coarsened giant blocks) and the unsalted/non-interior path
+    # is active; otherwise the original two-shuffle plan runs unchanged.
+    # Results are identical: cell equality implies pcell equality.
+    use_copart = (
+        salt_k <= 1 and not has_interior and not broadcast_index
+        and min(res_list) >= PARENT_RES
+    )
+    if use_copart:
+        spark = docs.sparkSession
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        bc2 = block_cells.select("cell", "cell_res", "block_id").withColumn(
+            "pcell",
+            F.expr(
+                f"shiftleft(CAST({PARENT_RES} AS BIGINT), 58) | "
+                f"shiftrightunsigned(cell & {(1 << 58) - 1}, "
+                f"2 * (cell_res - {PARENT_RES}))"
+            ),
+        ).drop("cell_res")
+        cand = (
+            d.repartition(npart, "pcell")
+            .join(bc2.repartition(npart, "pcell"), ["pcell", "cell"], "inner")
+            .select("pcell", "doc_id", "lon", "lat", "block_id")
+        )
+        geom = geom_cells if geom_cells is not None else build_refine_geometry(blocks)
+        return (
+            cand.groupBy("pcell")
+            .cogroup(geom.groupBy("g_pcell"))
+            .applyInArrow(_pip_refine_cogroup, _REFINE_SCHEMA)
+        )
     # geometry side keyed by FIXED-res parent cover of the block bbox (must
     # match the probe-side pcell resolution exactly); prebuild + persist via
     # build_refine_geometry to amortize across doc batches
