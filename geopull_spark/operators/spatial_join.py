@@ -302,8 +302,20 @@ def assign_docs_to_blocks(
     # adaptive-coarsened giant blocks) and the unsalted/non-interior path
     # is active; otherwise the original two-shuffle plan runs unchanged.
     # Results are identical: cell equality implies pcell equality.
+    # Plan choice, measured (r4): the co-partitioned plan eliminates the
+    # 2nd doc-side exchange (~40 MB/M docs write+read), but on THIS
+    # single-node host shuffle runs at memory speed and the plan measured
+    # 25-30% slower end-to-end at 32 cores (interleaved A/B, 5M docs:
+    # legacy 24.9-29.6 s vs copart 33.8-35.6 s — the pcell-hashed doc
+    # exchange burns ~80% more CPU than the high-cardinality cell hash).
+    # On a network-shuffle cluster the traffic saving is the win, so the
+    # plan stays selectable: GEOPULL_ASSIGN_PLAN=copart.
+    import os as _os
+
+    _plan = _os.environ.get("GEOPULL_ASSIGN_PLAN", "legacy")
     use_copart = (
-        salt_k <= 1 and not has_interior and not broadcast_index
+        _plan == "copart"
+        and salt_k <= 1 and not has_interior and not broadcast_index
         and min(res_list) >= PARENT_RES
     )
     if use_copart:
@@ -317,15 +329,27 @@ def assign_docs_to_blocks(
                 f"2 * (cell_res - {PARENT_RES}))"
             ),
         ).drop("cell_res")
+        # SHUFFLE_HASH on the narrow index side: the default SortMergeJoin
+        # would sort the full doc side by (pcell, cell) — measured 1.7×
+        # slower end-to-end at 2 cores. The hash join streams docs through a
+        # per-partition map of index rows (≤ a few hundred k rows/partition)
+        # with no sort; the cogroup's own sort on pcell is unchanged either
+        # way.
         cand = (
             d.repartition(npart, "pcell")
-            .join(bc2.repartition(npart, "pcell"), ["pcell", "cell"], "inner")
+            .join(bc2.repartition(npart, "pcell").hint("SHUFFLE_HASH"),
+                  ["pcell", "cell"], "inner")
             .select("pcell", "doc_id", "lon", "lat", "block_id")
         )
         geom = geom_cells if geom_cells is not None else build_refine_geometry(blocks)
+        # pin the geometry side to the SAME partition count: AQE otherwise
+        # byte-coalesces the small geometry exchange (e.g. 128 → 38), the
+        # cogroup then requires equal child partitioning, and the whole
+        # candidate stream gets RE-exchanged to match — exactly the shuffle
+        # this plan exists to avoid (observed in the r4 profile).
         return (
             cand.groupBy("pcell")
-            .cogroup(geom.groupBy("g_pcell"))
+            .cogroup(geom.repartition(npart, "g_pcell").groupBy("g_pcell"))
             .applyInArrow(_pip_refine_cogroup, _REFINE_SCHEMA)
         )
     # geometry side keyed by FIXED-res parent cover of the block bbox (must

@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # co-partitioned assignment plan (spatial_join.py): both join sides
+        # hash by pcell (a prefix function of the cell join key) so the
+        # refine cogroup reuses the join partitioning. The default
+        # requireAllClusterKeysForCoPartition=true rejects subset-key
+        # partitionings and re-exchanges the whole candidate stream;
+        # relaxing it is exactly the supported use of this knob (equal full
+        # keys always co-locate under a hash of any common subset).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

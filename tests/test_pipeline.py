@@ -454,3 +454,22 @@ def test_assign_docs_steady_bucketed_identical(spark, world):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_steady_block_cells")
         spark.sql("DROP TABLE IF EXISTS t_steady_refine_geom")
+
+
+def test_copart_assignment_plan_identical(spark, world):
+    """The co-partitioned single-shuffle plan (GEOPULL_ASSIGN_PLAN=copart)
+    returns exactly the rows of the default plan."""
+    import os as _os
+
+    docs = synth.interleaved_documents(spark, SF).select("doc_id", "lon", "lat")
+    bc = spatial_join.build_block_cell_index(world["blocks"])
+    legacy = sorted(map(tuple, spatial_join.assign_docs_to_blocks(
+        docs, world["blocks"], bc).select("doc_id", "block_id").collect()))
+    _os.environ["GEOPULL_ASSIGN_PLAN"] = "copart"
+    try:
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        copart = sorted(map(tuple, spatial_join.assign_docs_to_blocks(
+            docs, world["blocks"], bc).select("doc_id", "block_id").collect()))
+    finally:
+        _os.environ.pop("GEOPULL_ASSIGN_PLAN", None)
+    assert legacy == copart and len(legacy) > 0
