@@ -292,6 +292,12 @@ def _route_lines_to_parts_cells(land: DataFrame, lines: DataFrame) -> DataFrame:
     res_list = sorted(
         r["cell_res"] for r in part_cells.select("cell_res").distinct().collect()
     )
+    if not res_list:  # no land parts → no routed lines
+        return lines.select(
+            F.col("region_code").alias("l_region"),
+            F.lit(None).cast("int").alias("l_part"),
+            F.col("geometry").alias("l_geometry"),
+        ).limit(0)
     l = lines.select("region_code", "geometry", "minx", "miny", "maxx", "maxy").withColumn(
         "_lid", F.monotonically_increasing_id()
     )
