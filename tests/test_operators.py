@@ -573,3 +573,21 @@ def test_ivf_fit_high_dim(spark):
     b = {cids[i] for i in range(60, 120)}
     assert a.isdisjoint(b)  # the two clusters land on different centroids
     assert len(a) == 1 and len(b) == 1
+
+
+def test_decode_media_jpeg_real(spark):
+    """JPEG media rows route through the real T.81 decoder (r4): exact
+    dimensions and pixel-derived mean luma."""
+    import numpy as np
+    from geopull_spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.outer(np.linspace(0, 255, 24), np.ones(40)).astype(np.uint8)
+    buf = jpeg_encode(img, 90)
+    media = spark.createDataFrame(
+        [("mJ", "d0", "image", bytearray(buf))],
+        "media_ref string, doc_id string, kind string, content binary",
+    )
+    row = multimodal.decode_media(media).collect()[0]
+    assert (row["width"], row["height"]) == (40, 24)
+    decoded = jpeg_decode(buf)
+    assert row["mean_luma"] == pytest.approx(float(decoded.astype("float64").mean()), abs=1e-4)
