@@ -230,9 +230,12 @@ def _to_blocks(plane: np.ndarray) -> np.ndarray:
 
 
 def jpeg_encode(img: np.ndarray, quality: int = 85,
-                subsample: str = "444") -> bytes:
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes
-    (grayscale single-component, or YCbCr 4:4:4 / 4:2:0)."""
+    (grayscale single-component, or YCbCr 4:4:4 / 4:2:0).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every that
+    many MCUs (4:4:4/grayscale path) — primarily to exercise the decoder's
+    restart resynchronization."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -274,6 +277,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 85,
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
         out += bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         out += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
@@ -289,7 +294,14 @@ def jpeg_encode(img: np.ndarray, quality: int = 85,
     comp_blocks = [_to_blocks(p) for p in planes]
     n_mcu = len(comp_blocks[0])
     preds = [0] * ncomp
+    rst = 0
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out + bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _BitWriter()
+            preds = [0] * ncomp
         for ci in range(ncomp):
             qt = qt_l if ci == 0 else qt_c
             dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)

@@ -682,3 +682,18 @@ def test_jpeg_unsupported_and_malformed_raise():
         jpeg_decode(bytes(buf))
     with pytest.raises(ValueError):
         jpeg_decode(b"\xff\xd8\xff\xe0\x00\x00garbage")
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn path: encoder emits restart markers, decoder resynchronizes
+    (DC predictors reset) — output identical quality to the no-DRI stream."""
+    from geopull_spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    g = np.outer(np.linspace(0, 255, 48), np.ones(64)).astype(np.uint8)
+    plain = jpeg_decode(jpeg_encode(g, 90))
+    with_dri = jpeg_decode(jpeg_encode(g, 90, restart_interval=5))
+    assert np.array_equal(plain, with_dri)
+    rgb = np.stack([g, g[::-1], np.full_like(g, 70)], axis=-1)
+    out = jpeg_decode(jpeg_encode(rgb, 85, restart_interval=3))
+    assert out.shape == (48, 64, 3)
+    assert np.abs(out.astype(float) - rgb).mean() < 2.0
