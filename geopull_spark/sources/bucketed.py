@@ -16,6 +16,8 @@ engine-native layout layer on top of the snapshot warehouse.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -32,6 +34,18 @@ def write_bucketed(
     Joins between two tables bucketed by the same columns with the same
     bucket count execute without a shuffle; sorting within buckets
     additionally enables exchange-AND-sort-free sort-merge joins."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        # a previous session (in-memory catalog) may have left the managed
+        # location on disk without a catalog entry — saveAsTable then fails
+        # with LOCATION_ALREADY_EXISTS; clear both
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if not spark.catalog.tableExists(table):
+            import shutil
+
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), table.lower())
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
