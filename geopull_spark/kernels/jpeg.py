@@ -452,6 +452,15 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                # legal per T.81 (baseline multi-scan, one scan per
+                # component) but unsupported here: decoding only the first
+                # scan would silently return a grayscale image for a color
+                # frame — fail loudly instead (ADVICE r4)
+                raise ValueError(
+                    "multi-scan baseline JPEG unsupported "
+                    f"(scan has {ns} of {len(frame['comps'])} components)"
+                )
             scan = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si:3 + 2 * si]

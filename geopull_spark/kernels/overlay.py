@@ -203,6 +203,89 @@ def is_simple_polygon(rings) -> bool:
     return True
 
 
+def _segments_interact(sa: np.ndarray, sb: np.ndarray, window) -> bool:
+    """True iff any segment of ``sa`` intersects any of ``sb`` at a point
+    other than an endpoint shared by both (endpoint-endpoint corner touches
+    between valid parts are allowed; crossings, T-touches, and collinear
+    overlaps are interactions). Segments are prefiltered to the pair's bbox
+    intersection ``window`` then tested chunk-wise (bounded temp memory)."""
+    wx0, wy0, wx1, wy1 = window
+
+    def clip(s: np.ndarray) -> np.ndarray:
+        lo = np.minimum(s[:, 0:2], s[:, 2:4])
+        hi = np.maximum(s[:, 0:2], s[:, 2:4])
+        keep = (lo[:, 0] <= wx1) & (hi[:, 0] >= wx0) & (lo[:, 1] <= wy1) & (hi[:, 1] >= wy0)
+        return s[keep]
+
+    sa, sb = clip(sa), clip(sb)
+    if len(sa) == 0 or len(sb) == 0:
+        return False
+    e = 1e-12
+    q0 = sb[:, 0:2]
+    s_ = sb[:, 2:4] - q0
+    for c0 in range(0, len(sa), 512):
+        a = sa[c0:c0 + 512]
+        p0 = a[:, None, 0:2]
+        r = a[:, None, 2:4] - p0
+        qp = q0[None, :, :] - p0
+        denom = r[..., 0] * s_[None, :, 1] - r[..., 1] * s_[None, :, 0]
+        cross_qp_s = qp[..., 0] * s_[None, :, 1] - qp[..., 1] * s_[None, :, 0]
+        cross_qp_r = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+        nz = np.abs(denom) > e
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tt = np.where(nz, cross_qp_s / denom, np.nan)
+            uu = np.where(nz, cross_qp_r / denom, np.nan)
+        inter = nz & (tt >= -e) & (tt <= 1 + e) & (uu >= -e) & (uu <= 1 + e)
+        end_t = (np.abs(tt) <= e) | (np.abs(tt - 1) <= e)
+        end_u = (np.abs(uu) <= e) | (np.abs(uu - 1) <= e)
+        if np.any(inter & ~(end_t & end_u)):
+            return True
+        # collinear pairs: interaction iff the 1-D projections overlap in
+        # more than a point (a point touch is an endpoint of both)
+        coll = ~nz & (np.abs(cross_qp_r) <= e)
+        if coll.any():
+            ai, bi = np.nonzero(coll)
+            for x, y in zip(ai, bi):
+                d = a[x, 2:4] - a[x, 0:2]
+                dd = float(d @ d)
+                if dd == 0.0:
+                    continue
+                tb0 = float((sb[y, 0:2] - a[x, 0:2]) @ d)
+                tb1 = float((sb[y, 2:4] - a[x, 0:2]) @ d)
+                lo, hi = min(tb0, tb1), max(tb0, tb1)
+                if min(dd, hi) - max(0.0, lo) > e * dd:
+                    return True
+    return False
+
+
+def _parts_interact(pa, pb, sa, sb, box_a, box_b) -> bool:
+    """Do two polygon parts geometrically interact (boundary crossing /
+    T-touch / collinear overlap / containment)? Pure corner touches between
+    parts do NOT count — GEOS MakeValid is the identity on a valid
+    MultiPolygon whose parts touch at finitely many points, so such parts
+    must stay on the byte-stable pass-through path (ADVICE r4)."""
+    window = (
+        max(box_a[0], box_b[0]), max(box_a[1], box_b[1]),
+        min(box_a[2], box_b[2]), min(box_a[3], box_b[3]),
+    )
+    if _segments_interact(sa, sb, window):
+        return True
+    # no boundary interaction ⇒ interiors are disjoint or nested: an
+    # interior point of one inside the other (even-odd over ALL rings, so a
+    # part sitting in another part's hole stays independent) ⇒ nested
+    from .pointops import points_in_ring
+
+    for rings_probe, rings_other in ((pa[1], pb[1]), (pb[1], pa[1])):
+        rx, ry = representative_point(rings_probe)
+        crossings = 0
+        for ring in rings_other:
+            crossings += int(points_in_ring(np.array([rx]), np.array([ry]),
+                                            np.asarray(ring))[0])
+        if crossings % 2 == 1:
+            return True
+    return False
+
+
 def make_valid(geom) -> list:
     """GEOS MakeValid ("linework" method): self-node each polygon's rings,
     classify the arrangement faces by even-odd winding against the original
@@ -217,13 +300,16 @@ def make_valid(geom) -> list:
     empty), holes touching the shell at a point (valid — preserved), and
     mixed-dimension collections (non-polygon parts pass through untouched).
 
-    Round 4: MultiPolygon parts whose bboxes interact are now repaired
-    JOINTLY — their rings enter one arrangement and faces classify even-odd
-    against the combined linework, so two mutually-overlapping shells
-    resolve the GEOS-linework way (the doubly-covered region has even
-    winding → becomes a hole). Parts that don't interact (bbox-disjoint from
-    every other part) keep the old byte-stable path: simple parts pass
-    through untouched, non-simple parts repair individually.
+    Round 4/5: MultiPolygon parts that GEOMETRICALLY interact (boundary
+    crossing, T-touch, collinear overlap, or containment — detected via a
+    bbox sweep + vectorized segment test, O(n log n + k) in parts) are
+    repaired JOINTLY — their rings enter one arrangement and faces classify
+    even-odd against the combined linework, so two mutually-overlapping
+    shells resolve the GEOS-linework way (the doubly-covered region has
+    even winding → becomes a hole). Parts that don't interact — including
+    valid parts whose bboxes overlap or that touch only at corners — keep
+    the byte-stable path: simple parts pass through untouched, non-simple
+    parts repair individually.
 
     Remaining documented divergence vs full GEOS (enumerated, each with a
     golden test): exact snap-grid noding (1e-9°) can differ from GEOS's
@@ -242,10 +328,16 @@ def make_valid(geom) -> list:
     if not poly_parts:
         return out
 
-    # group polygon parts by bbox interaction (transitive closure): only
-    # interacting parts pay the joint-arrangement cost or lose byte identity
+    # group polygon parts by GEOMETRIC interaction (transitive closure):
+    # only parts that actually touch/cross/contain each other enter a joint
+    # arrangement — valid mutually-disjoint parts whose bboxes merely
+    # overlap (interlocking L-shapes, corner touches) stay byte-stable on
+    # the pass-through path (ADVICE r4). Candidate pairs come from a
+    # sort-by-minx bbox sweep (O(n log n + k), not the former O(n²) Python
+    # loop — a 3e4-part archipelago multipolygon is fine), then each
+    # candidate pays a vectorized segment-interaction + containment test.
     n = len(poly_parts)
-    boxes = [wkb.bounds(p) for p in poly_parts]
+    boxes = np.array([wkb.bounds(p) for p in poly_parts], dtype=np.float64)
     parent = list(range(n))
 
     def find(i):
@@ -254,11 +346,28 @@ def make_valid(geom) -> list:
             i = parent[i]
         return i
 
-    for i in range(n):
-        for j in range(i + 1, n):
-            a, b = boxes[i], boxes[j]
-            if a[0] <= b[2] and a[2] >= b[0] and a[1] <= b[3] and a[3] >= b[1]:
-                parent[find(i)] = find(j)
+    if n > 1:
+        order = np.argsort(boxes[:, 0], kind="stable")
+        sminx = boxes[order, 0]
+        seg_cache: dict[int, np.ndarray] = {}
+
+        def segs_of(i: int) -> np.ndarray:
+            if i not in seg_cache:
+                seg_cache[i] = geoms_to_segments([poly_parts[i]])
+            return seg_cache[i]
+
+        for idx in range(n - 1):
+            i = int(order[idx])
+            hi = int(np.searchsorted(sminx, boxes[i, 2], side="right"))
+            js = order[idx + 1:hi]
+            ok = (boxes[js, 1] <= boxes[i, 3]) & (boxes[js, 3] >= boxes[i, 1])
+            for j in js[ok]:
+                j = int(j)
+                if find(i) != find(j) and _parts_interact(
+                    poly_parts[i], poly_parts[j],
+                    segs_of(i), segs_of(j), boxes[i], boxes[j],
+                ):
+                    parent[find(i)] = find(j)
     groups: dict[int, list] = {}
     for i in range(n):
         groups.setdefault(find(i), []).append(poly_parts[i])

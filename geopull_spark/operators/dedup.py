@@ -160,20 +160,39 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def simhash_neardup(docs: DataFrame, max_hamming: int = 8, text_col: str = "text",
-                    id_col: str = "doc_id", bucket_cap: int = 128) -> DataFrame:
+                    id_col: str = "doc_id", bucket_cap: int = 128,
+                    signatures: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: band on 16-bit chunks (pigeonhole: hamming
     ≤ 3 guarantees a shared chunk of 4; ≤ max_hamming is refined exactly via
     bit_count), then exact hamming filter.
 
-    Same scale-safe bucket handling as :func:`minhash_lsh_pairs`: buckets up
-    to ``bucket_cap`` members get exact all-pairs; oversized (hot) buckets
-    emit star pairs to the min-id representative (k−1 rows, bounded memory,
-    identical connected components downstream). The representative's simhash
-    rides along via a min-struct window so the exact hamming refine still
-    applies to star pairs."""
+    Scale-safe bucket handling, all-pairs-EQUIVALENT connected components
+    (VERDICT r4 #2 — a plain min-id star is NOT equivalent for simhash,
+    because the post-routing hamming refine can drop an A–B edge when both
+    are > max_hamming from the rep). Per (chunk, ck) bucket:
+
+      1. n ≤ ``bucket_cap``: exact all-pairs (collect_list provably ≤ cap).
+      2. n > cap: collapse IDENTICAL signatures first — a star to the min-id
+         member of each equal-simhash group (hamming 0, never refined away;
+         exact for any group size, this is the crawl-boilerplate shape).
+         Cross-group edges then only need one edge per DISTINCT-signature
+         pair (members of equal-sig groups are interchangeable for CC:
+         hamming(a, b) depends only on their signatures).
+      3. ≤ cap distinct signatures: exact all-pairs over the group reps.
+      4. > cap distinct signatures: reps are re-banded on the 12 4-bit
+         sub-chunks OUTSIDE the bucket's chunk (pigeonhole: ≤ max_hamming ≤ 8
+         differing bits over those 48 → ≥ 4 shared sub-chunks), all-pairs
+         within sub-buckets ≤ cap. Only a sub-bucket with > cap DISTINCT
+         signatures agreeing on 20 of 64 bits falls back to an approximate
+         star (counted by :func:`simhash_bucket_stats`) — the one remaining,
+         exponentially-rarer divergence from all-pairs components.
+
+    Per-row and per-task memory stay bounded regardless of bucket skew.
+    ``signatures`` (id, simhash) overrides the text-derived signatures —
+    used by the adversarial-bucket tests to pin the equivalence claim."""
     from pyspark.sql import Window
 
-    sh = simhash64(docs, text_col, id_col)
+    sh = signatures if signatures is not None else simhash64(docs, text_col, id_col)
     chunks = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
@@ -183,11 +202,8 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 8, text_col: str = "text
         ])).alias("s"),
     ).select(id_col, "simhash", F.col("s.chunk").alias("chunk"), F.col("s.ck").alias("ck"))
     w = Window.partitionBy("chunk", "ck")
-    # min over a (id, simhash) struct = the min-id member's struct (lexicographic)
     sized = chunks.select(
-        id_col, "simhash", "chunk", "ck",
-        F.count("*").over(w).alias("n"),
-        F.min(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))).over(w).alias("rep"),
+        id_col, "simhash", "chunk", "ck", F.count("*").over(w).alias("n")
     )
     small = (
         sized.filter((F.col("n") >= 2) & (F.col("n") <= bucket_cap))
@@ -203,17 +219,150 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 8, text_col: str = "text
             F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
         )
     )
-    star_pairs = (
-        sized.filter((F.col("n") > bucket_cap) & (F.col(id_col) != F.col("rep.id")))
+    over = sized.filter(F.col("n") > bucket_cap)
+    # (2) equal-signature groups: star to the group's min id (hamming 0)
+    wg = Window.partitionBy("chunk", "ck", "simhash")
+    grouped = over.select(
+        id_col, "simhash", "chunk", "ck", F.min(id_col).over(wg).alias("grep")
+    )
+    ident_star = (
+        grouped.filter(F.col(id_col) != F.col("grep"))
         .select(
-            F.col("rep.id").alias("doc_a"), F.col(id_col).alias("doc_b"),
-            F.col("rep.sh").alias("sh_a"), F.col("simhash").alias("sh_b"),
+            F.col("grep").alias("doc_a"), F.col(id_col).alias("doc_b"),
+            F.col("simhash").alias("sh_a"), F.col("simhash").alias("sh_b"),
         )
     )
-    pairs = small_pairs.unionByName(star_pairs).distinct()
+    # one rep row per distinct signature in the bucket
+    reps = (
+        grouped.filter(F.col(id_col) == F.col("grep"))
+        .select(F.col("grep").alias("rid"), "simhash", "chunk", "ck")
+    )
+    wd = Window.partitionBy("chunk", "ck")
+    repd = reps.withColumn("d", F.count("*").over(wd))
+    # (3) few distinct signatures: exact all-pairs over reps
+    rep_small = (
+        repd.filter(F.col("d") <= bucket_cap)
+        .groupBy("chunk", "ck")
+        .agg(F.collect_list(F.struct(F.col("rid").alias("id"), F.col("simhash").alias("sh"))).alias("ms"))
+    )
+    rep_pairs = (
+        rep_small.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
+    )
+    # (4) many distinct signatures: re-band reps on the 12 out-of-chunk
+    # 4-bit sub-chunks
+    sub = (
+        repd.filter(F.col("d") > bucket_cap)
+        .select(
+            "rid", "simhash", "chunk", "ck",
+            F.explode(F.array(*[
+                F.struct(F.lit(s).alias("sub"),
+                         (F.shiftright(F.col("simhash"), 4 * s).bitwiseAND(F.lit(0xF))).alias("sb"))
+                for s in range(16)
+            ])).alias("t"),
+        )
+        .filter(F.floor(F.col("t.sub") / 4) != F.col("chunk"))
+        .select("rid", "simhash", "chunk", "ck",
+                F.col("t.sub").alias("sub"), F.col("t.sb").alias("sb"))
+    )
+    ws = Window.partitionBy("chunk", "ck", "sub", "sb")
+    subd = sub.select(
+        "rid", "simhash", "chunk", "ck", "sub", "sb",
+        F.count("*").over(ws).alias("m"),
+        F.min(F.struct(F.col("rid").alias("id"), F.col("simhash").alias("sh"))).over(ws).alias("srep"),
+    )
+    sub_small = (
+        subd.filter(F.col("m") <= bucket_cap)
+        .groupBy("chunk", "ck", "sub", "sb")
+        .agg(F.collect_list(F.struct(F.col("rid").alias("id"), F.col("simhash").alias("sh"))).alias("ms"))
+    )
+    sub_pairs = (
+        sub_small.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
+    )
+    # approximate fallback: > cap distinct signatures in one sub-bucket
+    sub_star = (
+        subd.filter((F.col("m") > bucket_cap) & (F.col("rid") != F.col("srep.id")))
+        .select(
+            F.col("srep.id").alias("doc_a"), F.col("rid").alias("doc_b"),
+            F.col("srep.sh").alias("sh_a"), F.col("simhash").alias("sh_b"),
+        )
+    )
+    pairs = (
+        small_pairs.unionByName(ident_star).unionByName(rep_pairs)
+        .unionByName(sub_pairs).unionByName(sub_star).distinct()
+    )
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def simhash_bucket_stats(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", bucket_cap: int = 128,
+                         signatures: DataFrame | None = None) -> DataFrame:
+    """Diagnostic for :func:`simhash_neardup`'s bucket handling: per chunk,
+    bucket counts, the max bucket, how many buckets are oversized, how many
+    DISTINCT signatures the worst oversized bucket holds, and
+    ``n_star_fallback`` — the count of (sub-chunk) sub-buckets that exceed
+    ``bucket_cap`` distinct signatures and therefore take the approximate
+    star route (0 ⇒ components provably identical to all-pairs)."""
+    from pyspark.sql import Window
+
+    sh = signatures if signatures is not None else simhash64(docs, text_col, id_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     (F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))).alias("ck"))
+            for c in range(4)
+        ])).alias("s"),
+    ).select(id_col, "simhash", F.col("s.chunk").alias("chunk"), F.col("s.ck").alias("ck"))
+    sizes = chunks.groupBy("chunk", "ck").agg(
+        F.count("*").alias("n"), F.count_distinct("simhash").alias("d")
+    )
+    # distinct-sig reps of oversized buckets, re-banded on out-of-chunk
+    # sub-chunks, counted per sub-bucket
+    wd = Window.partitionBy("chunk", "ck")
+    reps = (
+        chunks.join(sizes.filter(F.col("n") > bucket_cap).select("chunk", "ck"),
+                    ["chunk", "ck"])
+        .groupBy("chunk", "ck", "simhash").agg(F.min(id_col).alias("rid"))
+        .withColumn("d", F.count("*").over(wd))
+        .filter(F.col("d") > bucket_cap)
+    )
+    sub_over = (
+        reps.select(
+            "chunk", "ck", "simhash",
+            F.explode(F.array(*[
+                F.struct(F.lit(s).alias("sub"),
+                         (F.shiftright(F.col("simhash"), 4 * s).bitwiseAND(F.lit(0xF))).alias("sb"))
+                for s in range(16)
+            ])).alias("t"),
+        )
+        .filter(F.floor(F.col("t.sub") / 4) != F.col("chunk"))
+        .groupBy("chunk", "ck", F.col("t.sub"), F.col("t.sb"))
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") > bucket_cap)
+        .groupBy("chunk").agg(F.count("*").alias("n_star_fallback"))
+    )
+    out = sizes.groupBy("chunk").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.max("d").alias("max_distinct"),
+        F.sum(F.when(F.col("n") > bucket_cap, 1).otherwise(0)).alias("n_oversize"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_collision"),
+    )
+    return out.join(sub_over, "chunk", "left").fillna({"n_star_fallback": 0})
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",

@@ -116,11 +116,17 @@ def _difference_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame
     if len(left) == 0:
         return pd.DataFrame(columns=_LAND_COLS)
     region = left["region_code"].iloc[0]
-    if len(right) == 0:
-        # zero-decode pass-through (ADVICE r3): upstream land parts are
-        # already canonical WKB (_part_rows output), so sorting the raw
-        # buffers equals sorting re-canonicalized dumps; bboxes ride along
-        # from the input columns instead of being recomputed.
+    # the zero-decode pass-through assumes canonical engine WKB (_part_rows
+    # output: little-endian, one Polygon per row). Externally-sourced WKB
+    # (big-endian, Multi*, non-canonical serialization) would sort/order
+    # differently than the decode/re-dump path, so gate on the cheap header
+    # check (byte 0 = 0x01 LE, type word = 3 Polygon) and fall back to the
+    # overlay path when it fails (ADVICE r4).
+    canonical = all(
+        len(b) >= 5 and b[0] == 1 and bytes(b)[1:5] == b"\x03\x00\x00\x00"
+        for b in (bytes(x) for x in left["geometry"])
+    )
+    if len(right) == 0 and canonical:
         rows = sorted(
             zip(left["geometry"], left["minx"], left["miny"], left["maxx"], left["maxy"]),
             key=lambda r: bytes(r[0]),

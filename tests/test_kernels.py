@@ -620,6 +620,77 @@ def test_make_valid_disjoint_parts_stay_byte_identical():
     assert got == want
 
 
+def test_make_valid_bbox_overlap_disjoint_parts_identity():
+    """ADVICE r4: valid, mutually-disjoint parts whose BBOXES overlap
+    (interlocking L-shapes) must stay byte-identical — grouping is by
+    actual geometric interaction, not bbox overlap, so make_valid is the
+    identity like GEOS MakeValid on valid input."""
+    # two interlocking Ls: bboxes are both (0..3, 0..3) but interiors and
+    # boundaries are disjoint
+    a = np.array([(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3), (0, 0)], float)
+    b = np.array([(2, 1.5), (3, 1.5), (3, 3), (1.5, 3), (1.5, 2.5),
+                  (2, 2.5), (2, 1.5)], float)
+    out = overlay.make_valid(("MultiPolygon", [[a], [b]]))
+    assert sorted(wkb.dumps(p) for p in out) == sorted(
+        [wkb.dumps(("Polygon", [a])), wkb.dumps(("Polygon", [b]))]
+    )
+
+
+def test_make_valid_corner_touch_identity():
+    """Parts touching at exactly one shared corner are a VALID MultiPolygon:
+    no renode, bytes preserved."""
+    a = np.array([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)], float)
+    b = np.array([(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)], float)
+    out = overlay.make_valid(("MultiPolygon", [[a], [b]]))
+    assert sorted(wkb.dumps(p) for p in out) == sorted(
+        [wkb.dumps(("Polygon", [a])), wkb.dumps(("Polygon", [b]))]
+    )
+
+
+def test_make_valid_part_in_hole_identity():
+    """A part sitting inside another part's hole is valid (interiors
+    disjoint): even-odd containment over ALL rings keeps them independent
+    and byte-stable."""
+    donut_ext = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], float)
+    donut_hole = np.array([(2, 2), (2, 8), (8, 8), (8, 2), (2, 2)], float)
+    island = np.array([(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)], float)
+    out = overlay.make_valid(("MultiPolygon", [[donut_ext, donut_hole], [island]]))
+    assert sorted(wkb.dumps(p) for p in out) == sorted([
+        wkb.dumps(("Polygon", [donut_ext, donut_hole])),
+        wkb.dumps(("Polygon", [island])),
+    ])
+
+
+def test_make_valid_nested_part_still_joint():
+    """A part fully inside another part's INTERIOR still takes the joint
+    path (even winding → hole), as before the regrouping."""
+    big = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], float)
+    small = np.array([(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)], float)
+    out = overlay.make_valid(("MultiPolygon", [[big], [small]]))
+    polys = [p for p in out if p[0] == "Polygon"]
+    total = sum(area.polygon_area(p[1]) for p in polys)
+    assert total == pytest.approx(96.0)  # 100 − 4: nested square becomes a hole
+
+
+def test_make_valid_archipelago_scales():
+    """ADVICE r4 (medium): grouping must be O(n log n + k), not an O(n²)
+    Python loop — 20k disjoint islands in one MultiPolygon must group in
+    well under a minute (the old loop would do 2×10⁸ Python iterations)."""
+    import time
+
+    n = 20000
+    xs = (np.arange(n) % 200) * 2.0
+    ys = (np.arange(n) // 200) * 2.0
+    parts = [
+        [np.array([(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1), (x, y)], float)]
+        for x, y in zip(xs, ys)
+    ]
+    t0 = time.time()
+    out = overlay.make_valid(("MultiPolygon", parts))
+    assert len(out) == n
+    assert time.time() - t0 < 30.0
+
+
 def test_make_valid_snap_noding_golden():
     """The ONE remaining documented divergence vs GEOS, pinned as a golden:
     self-intersection coordinates are snapped to the exact 1e-9° grid
@@ -682,6 +753,26 @@ def test_jpeg_unsupported_and_malformed_raise():
         jpeg_decode(bytes(buf))
     with pytest.raises(ValueError):
         jpeg_decode(b"\xff\xd8\xff\xe0\x00\x00garbage")
+
+
+def test_jpeg_multiscan_baseline_raises():
+    """ADVICE r4: a baseline multi-scan JPEG (SOS with fewer components
+    than the frame — legal per T.81) must raise loudly instead of silently
+    decoding only the Y scan as grayscale."""
+    from geopull_spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    g = np.full((16, 16), 128, dtype=np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    buf = bytearray(jpeg_encode(rgb, 85))
+    i = buf.find(b"\xff\xda")
+    assert i >= 0
+    seglen = (buf[i + 2] << 8) | buf[i + 3]
+    assert seglen == 12 and buf[i + 4] == 3  # 3-component interleaved SOS
+    # rewrite to a 1-component scan: keep comp 0 spec + spectral bytes
+    new_seg = bytes([0, 8, 1]) + bytes(buf[i + 5:i + 7]) + bytes(buf[i + 11:i + 14])
+    patched = bytes(buf[:i + 2]) + new_seg + bytes(buf[i + 2 + seglen:])
+    with pytest.raises(ValueError, match="multi-scan"):
+        jpeg_decode(patched)
 
 
 def test_jpeg_restart_interval_roundtrip():

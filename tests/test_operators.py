@@ -535,6 +535,80 @@ def test_simhash_hot_bucket_bounded(spark):
     assert all(a == 0 for a, _ in cluster)
 
 
+def test_simhash_adversarial_bucket_keeps_far_from_rep_pair(spark):
+    """VERDICT r4 #2: in an oversized bucket, members A and B with
+    hamming(A,B) ≤ k but BOTH > k from the min-id representative must still
+    pair up (the old min-id star dropped that edge). Few distinct
+    signatures → exact all-pairs over equal-signature group reps."""
+    base = 0x1234                      # 10 docs, min ids → the old star rep
+    sig_a = 0x1234 | (0xFFFFF << 20)   # hamming(base, sig_a) = 20 > k
+    sig_b = sig_a ^ (0x3 << 50)        # hamming(sig_a, sig_b) = 2 ≤ k
+    rows = ([(i, base) for i in range(10)]
+            + [(i, sig_a) for i in range(10, 19)]
+            + [(i, sig_b) for i in range(19, 21)])
+    sigs = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    docs = sigs.select("doc_id").withColumn("text", F.lit("x"))
+    pairs = dedup.simhash_neardup(docs, max_hamming=8, bucket_cap=8,
+                                  signatures=sigs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (10, 19) in got             # A-group rep ↔ B-group rep: the edge
+    # equal-signature groups stay internally connected via hamming-0 stars
+    assert {(10, j) for j in range(11, 19)} <= got
+    assert {(0, j) for j in range(1, 10)} <= got
+    # components == all-pairs components: {A∪B} and {base} stay separate
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert len({comp[i] for i in range(10, 21)}) == 1
+    assert comp[0] != comp[10]
+
+
+def test_simhash_adversarial_bucket_many_distinct_subband(spark):
+    """Oversized bucket with MANY distinct signatures: reps re-band on the
+    12 out-of-chunk 4-bit sub-chunks, so a hamming-2 pair is still found
+    among > bucket_cap distinct far-apart signatures."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    fillers = [0x0042 | (int(v) << 16) for v in
+               rng.randint(0, 1 << 46, size=28, dtype=np.int64)]
+    sig_a = 0x0042 | (0x5A5A5 << 24)
+    sig_b = sig_a ^ (0x3 << 33)        # hamming 2
+    # pin the premise: fillers are far from each other and from A/B
+    allsigs = fillers + [sig_a, sig_b]
+    for i in range(len(allsigs)):
+        for j in range(i + 1, len(allsigs)):
+            if (i, j) != (len(allsigs) - 2, len(allsigs) - 1):
+                assert bin(allsigs[i] ^ allsigs[j]).count("1") > 8
+    rows = [(i, s) for i, s in enumerate(allsigs)]
+    sigs = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    docs = sigs.select("doc_id").withColumn("text", F.lit("x"))
+    pairs = dedup.simhash_neardup(docs, max_hamming=8, bucket_cap=4,
+                                  signatures=sigs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(28, 29)}           # exactly the planted near-pair
+
+
+def test_simhash_bucket_stats_counts_star_fallback(spark):
+    """simhash_bucket_stats exposes the one remaining approximation: a
+    sub-bucket with > bucket_cap DISTINCT signatures. 10 sigs share chunk 0
+    AND every out-of-chunk sub-chunk except #14 → those 11 sub-buckets each
+    hold 10 > cap distinct sigs → counted as star fallbacks."""
+    rows = [(i, 0x0042 | (i << 56)) for i in range(10)]
+    sigs = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    docs = sigs.select("doc_id").withColumn("text", F.lit("x"))
+    st = {r["chunk"]: r for r in
+          dedup.simhash_bucket_stats(docs, bucket_cap=4,
+                                     signatures=sigs).collect()}
+    assert st[0]["n_oversize"] == 1 and st[0]["max_distinct"] == 10
+    assert st[0]["n_star_fallback"] == 11
+    # a benign corpus reports zero fallbacks
+    benign = spark.createDataFrame(
+        [(i, f"wholly different text number {i} with words {i * 7}")
+         for i in range(20)], ["doc_id", "text"])
+    for r in dedup.simhash_bucket_stats(benign, bucket_cap=128).collect():
+        assert r["n_star_fallback"] == 0
+
+
 def test_cc_pointer_doubling_log_rounds(spark):
     """VERDICT r3 #9: a 1000-node path graph converges in O(log n) rounds via
     pointer doubling, not O(n) — and still labels every node with the min."""
