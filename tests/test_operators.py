@@ -609,6 +609,34 @@ def test_simhash_bucket_stats_counts_star_fallback(spark):
         assert r["n_star_fallback"] == 0
 
 
+def test_token_bpe_oracle_formula_edge_cases(spark):
+    """VERDICT r4 #8: the lookaround split count equals the RE2-expressible
+    formula (word runs + non-word chars + leading-\\W − 1) that the DuckDB
+    oracle uses — pinned on adversarial shapes the sf data may not cover."""
+    import duckdb
+
+    from geopull_spark.operators.text import token_count
+
+    texts = ["", "a", ".", "a.", ".a", "ab, cd", "  ", "a  b", "..!?",
+             "word", "hello, world! how are you?", "_under_score_", "1+2=3",
+             "tabs\tand\nnewlines here", "trailing space ", " leading"]
+    d = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r["bpe_ish_tokens"] for r in token_count(d).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    want = dict(con.execute("""
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE len(regexp_extract_all(text, '\\w+'))
+                         + (length(text) - length(regexp_replace(text, '\\W', '', 'g')))
+                         + (CASE WHEN regexp_matches(text, '\\W$') THEN 1 ELSE 0 END)
+                         - 1
+               END AS bpe FROM documents""").fetchall())
+    assert got == want
+
+
 def test_cc_pointer_doubling_log_rounds(spark):
     """VERDICT r3 #9: a 1000-node path graph converges in O(log n) rounds via
     pointer doubling, not O(n) — and still labels every node with the min."""
