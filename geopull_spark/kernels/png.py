@@ -87,7 +87,18 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 def png_decode(buf: bytes) -> np.ndarray:
     """PNG bytes → (h, w, channels) uint8. Supports the subset documented in
-    the module docstring; raises ValueError on anything else."""
+    the module docstring; raises ValueError on anything else — including
+    corrupt zlib streams and truncated chunks (never zlib.error /
+    struct.error leaking out; crawl-robustness, VERDICT r4 #4)."""
+    try:
+        return _png_decode_impl(buf)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(f"malformed PNG ({type(e).__name__}: {e})") from e
+
+
+def _png_decode_impl(buf: bytes) -> np.ndarray:
     if buf[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -171,7 +182,17 @@ def wav_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 bytes → (samples int16, sample_rate)."""
+    """RIFF/WAVE PCM16 bytes → (samples int16, sample_rate). Malformed
+    input raises a clean ValueError only (crawl-robustness, VERDICT r4 #4)."""
+    try:
+        return _wav_decode_impl(buf)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(f"malformed WAV ({type(e).__name__}: {e})") from e
+
+
+def _wav_decode_impl(buf: bytes) -> tuple[np.ndarray, int]:
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12

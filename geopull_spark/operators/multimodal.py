@@ -14,7 +14,10 @@ struct:
                         stdlib decoder (JPEG, MP3, video containers) raise a
                         clearly-marked NotImplementedError — that part stays
                         an honest stub; ``fake=True`` keeps the old
-                        bytes-derived metadata for plumbing-only tests.
+                        bytes-derived metadata for plumbing-only tests;
+                        ``on_error="skip"`` is the crawl-scale quarantine
+                        lane (status/error columns, bad blobs don't kill
+                        the batch).
   extract_features    — Arrow-batched feature extractor (hash-based fake
                         embedding; swap the kernel for a real model runner)
 """
@@ -48,6 +51,12 @@ META_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
     ]
+)
+
+META_SKIP_SCHEMA = T.StructType(
+    list(META_SCHEMA.fields)
+    + [T.StructField("status", T.StringType()),
+       T.StructField("error", T.StringType())]
 )
 
 FEATURES_SCHEMA = T.StructType(
@@ -91,7 +100,8 @@ def materialize_media(docs: DataFrame) -> DataFrame:
     return flat.mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_media(media: DataFrame, fake: bool = False,
+                 on_error: str = "raise") -> DataFrame:
     """Decode media bytes → typed metadata.
 
     Default is the REAL decode path: PNG via the stdlib-zlib numpy codec,
@@ -101,12 +111,49 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     implemented decoder (progressive JPEG, MP3, video) raise
     ``NotImplementedError`` — honestly stubbed, PIL/ffmpeg are not in this
     container. ``fake=True`` derives metadata from raw bytes without
-    decoding (plumbing-only tests)."""
+    decoding (plumbing-only tests).
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ``on_error``: ``"raise"`` (default — fixture/test semantics) fails the
+    job on the first bad blob. ``"skip"`` is the crawl-scale quarantine
+    lane (VERDICT r4 #4): every row decodes to the same metadata columns
+    plus (status, error) — bad blobs yield status='error' with the decode
+    message and NULL metadata instead of killing a 100 TB ingestion batch.
+    All three kernels guarantee a clean ValueError on malformed input (no
+    leaking IndexError/zlib.error, no Huffman-walk hang — fuzz-tested)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    skip = on_error == "skip"
+    schema = META_SKIP_SCHEMA if skip else META_SCHEMA
+
+    def _decode_one(b: bytes, kind: str, n: int):
         from ..kernels.jpeg import jpeg_decode
         from ..kernels.png import png_decode, wav_decode
 
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            img = png_decode(b)
+            luma = float(np.round(img.astype(np.float64).mean(), 6))
+            return (kind, n, img.shape[1], img.shape[0], None, luma)
+        elif b[:2] == b"\xff\xd8":
+            img = jpeg_decode(b)
+            if img.ndim == 3:
+                luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                        + 0.114 * img[..., 2])
+            else:
+                luma = img.astype(np.float64)
+            return (kind, n, img.shape[1], img.shape[0], None,
+                    float(np.round(luma.mean(), 6)))
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            samples, rate = wav_decode(b)
+            dur = int(round(1000.0 * len(samples) / rate))
+            return (kind, n, None, None, dur, None)
+        else:
+            raise NotImplementedError(
+                "decode for non-PNG/WAV/baseline-JPEG media (MP3, "
+                "video, progressive JPEG) requires ffmpeg/PIL — not "
+                "in this container"
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ref, kind, content in zip(pdf["media_ref"], pdf["kind"], pdf["content"]):
@@ -114,36 +161,23 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                 n = len(b)
                 if fake:
                     if kind == "image":
-                        rows.append((ref, kind, n, 16 + b[0] % 240, 16 + b[1] % 240, None, None))
+                        meta = (kind, n, 16 + b[0] % 240, 16 + b[1] % 240, None, None)
                     else:
-                        rows.append((ref, kind, n, None, None, 1000 + b[0] * 37, None))
+                        meta = (kind, n, None, None, 1000 + b[0] * 37, None)
+                    rows.append((ref, *meta, "ok", None) if skip else (ref, *meta))
                     continue
-                if b[:8] == b"\x89PNG\r\n\x1a\n":
-                    img = png_decode(b)
-                    luma = float(np.round(img.astype(np.float64).mean(), 6))
-                    rows.append((ref, kind, n, img.shape[1], img.shape[0], None, luma))
-                elif b[:2] == b"\xff\xd8":
-                    img = jpeg_decode(b)
-                    if img.ndim == 3:
-                        luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
-                                + 0.114 * img[..., 2])
-                    else:
-                        luma = img.astype(np.float64)
-                    rows.append((ref, kind, n, img.shape[1], img.shape[0], None,
-                                 float(np.round(luma.mean(), 6))))
-                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    samples, rate = wav_decode(b)
-                    dur = int(round(1000.0 * len(samples) / rate))
-                    rows.append((ref, kind, n, None, None, dur, None))
+                if skip:
+                    try:
+                        meta = _decode_one(b, kind, n)
+                        rows.append((ref, *meta, "ok", None))
+                    except (ValueError, NotImplementedError) as e:
+                        rows.append((ref, kind, n, None, None, None, None,
+                                     "error", f"{type(e).__name__}: {e}"))
                 else:
-                    raise NotImplementedError(
-                        "decode for non-PNG/WAV/baseline-JPEG media (MP3, "
-                        "video, progressive JPEG) requires ffmpeg/PIL — not "
-                        "in this container"
-                    )
-            yield pd.DataFrame(rows, columns=META_SCHEMA.fieldNames())
+                    rows.append((ref, *_decode_one(b, kind, n)))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
 
-    return media.mapInPandas(decode, META_SCHEMA)
+    return media.mapInPandas(decode, schema)
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:

@@ -775,6 +775,49 @@ def test_jpeg_multiscan_baseline_raises():
         jpeg_decode(patched)
 
 
+def test_media_decode_fuzz_clean_errors():
+    """VERDICT r4 #4 (crawl robustness): random truncation, bit flips, and
+    garbage splices over PNG/WAV/JPEG fixtures must either decode or raise a
+    clean ValueError/NotImplementedError — never IndexError/KeyError/
+    zlib.error/struct.error, and never hang (the JPEG bit-reader zero-pads
+    at EOF and the MCU loop is count-bounded)."""
+    import time
+
+    from geopull_spark.kernels.jpeg import jpeg_decode, jpeg_encode
+    from geopull_spark.kernels.png import png_decode, png_encode, wav_decode, wav_encode
+
+    g = np.outer(np.linspace(0, 255, 24), np.ones(32)).astype(np.uint8)
+    rgb = np.stack([g, g[::-1], np.full_like(g, 70)], axis=-1)
+    fixtures = {
+        "jpeg": (jpeg_encode(rgb, 85), jpeg_decode),
+        "png": (png_encode(g, filter_type=2), png_decode),
+        "wav": (wav_encode(np.arange(-300, 300, dtype=np.int16), rate=8000), wav_decode),
+    }
+    rng = np.random.RandomState(42)
+    n_err = 0
+    for name, (buf, dec) in fixtures.items():
+        for trial in range(150):
+            b = bytearray(buf)
+            mode = trial % 3
+            if mode == 0:
+                b = b[:rng.randint(1, len(b))]
+            elif mode == 1:
+                for _ in range(rng.randint(1, 6)):
+                    i = rng.randint(len(b))
+                    b[i] ^= 1 << rng.randint(8)
+            else:
+                i = rng.randint(len(b))
+                b[i:i + 8] = bytes(rng.randint(0, 256, size=8, dtype=np.uint8))
+            t0 = time.time()
+            try:
+                dec(bytes(b))
+            except (ValueError, NotImplementedError):
+                n_err += 1
+            # any other exception type propagates → test fails
+            assert time.time() - t0 < 10.0, f"{name} trial {trial} too slow"
+    assert n_err > 100  # the fuzz actually hit error paths
+
+
 def test_jpeg_restart_interval_roundtrip():
     """DRI/RSTn path: encoder emits restart markers, decoder resynchronizes
     (DC predictors reset) — output identical quality to the no-DRI stream."""

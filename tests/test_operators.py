@@ -152,6 +152,42 @@ def test_multimodal_plumbing(spark):
     assert f1 == f2
 
 
+def test_decode_media_skip_quarantines_bad_rows(spark):
+    """VERDICT r4 #4: on_error='skip' yields clean rows with status='ok' and
+    quarantines poisoned blobs as status='error' rows (NULL metadata, error
+    message) instead of failing the batch; raise-mode output is unchanged."""
+    import numpy as np
+
+    from geopull_spark.kernels.png import png_encode, wav_encode
+
+    g = np.full((10, 12), 99, dtype=np.uint8)
+    good_png = png_encode(g)
+    good_wav = wav_encode(np.zeros(800, dtype=np.int16), rate=8000)
+    bad_png = good_png[:20]                      # truncated
+    bad_mp3 = b"ID3\x04\x00" + b"\0" * 32        # unsupported format
+    media = spark.createDataFrame(
+        [("m1", "d", "image", bytearray(good_png)),
+         ("m2", "d", "audio", bytearray(good_wav)),
+         ("m3", "d", "image", bytearray(bad_png)),
+         ("m4", "d", "audio", bytearray(bad_mp3))],
+        "media_ref string, doc_id string, kind string, content binary",
+    )
+    out = {r["media_ref"]: r for r in
+           multimodal.decode_media(media, on_error="skip").collect()}
+    assert out["m1"]["status"] == "ok" and out["m1"]["width"] == 12
+    assert out["m2"]["status"] == "ok" and out["m2"]["duration_ms"] == 100
+    assert out["m3"]["status"] == "error" and "ValueError" in out["m3"]["error"]
+    assert out["m3"]["width"] is None
+    assert out["m4"]["status"] == "error" and "NotImplementedError" in out["m4"]["error"]
+    # raise-mode: identical schema/values for clean rows, fatal on bad ones
+    clean = media.filter(F.col("media_ref").isin("m1", "m2"))
+    rows = {r["media_ref"]: r for r in multimodal.decode_media(clean).collect()}
+    assert "status" not in rows["m1"].asDict()
+    assert rows["m1"]["width"] == 12 and rows["m2"]["duration_ms"] == 100
+    with pytest.raises(Exception):
+        multimodal.decode_media(media).collect()
+
+
 def test_decode_media_unsupported_format_raises(spark):
     """Formats with no implemented decoder (MP3 magic here; r4 moved JPEG to
     the real-decode path) stay honestly stubbed: NotImplementedError from
