@@ -86,6 +86,60 @@ def minhash_bands(data: bytes, k: int, n_bands: int, stride: int = 1) -> list[in
     return out
 
 
+def minhash_bands_batch(datas: list[bytes], k: int, n_bands: int,
+                        stride: int = 1) -> np.ndarray:
+    """Batched :func:`minhash_bands`: ONE kernel pass per Arrow batch
+    instead of one Python call per document (VERDICT r4 #6 — the same
+    fixed-per-call-overhead shape the r4 PIP profiling measured at ~50µs a
+    call, which at 10⁹ short docs is hours of pure overhead).
+
+    Bit-identical to the per-document kernel: all documents ≥ k bytes are
+    concatenated and rolling-hashed in one :func:`kgram_hashes_fast` pass —
+    a k-gram's polynomial hash depends only on its own k bytes, so grams
+    that don't straddle a document seam equal the per-doc hashes exactly;
+    straddling grams are never indexed. Per-band affine mixes + segmented
+    ``np.minimum.reduceat`` give each document's band minima. Documents
+    shorter than k (where the per-doc kernel shrinks k) fall back to the
+    scalar path. Returns (n_docs, n_bands) int64.
+
+    Documents are processed in ~512 KB sub-groups: beyond ~1 MB the
+    kernel's whole-array temporaries fall out of cache and throughput
+    collapses ~20× (measured: 32-45 ns/byte at ≤1 MB vs 866 ns/byte at
+    10 MB), so mid-size groups are the sweet spot — big enough to amortize
+    per-call overhead, small enough to stay cache-resident. Peak memory is
+    O(chunk), independent of batch size."""
+    n_docs = len(datas)
+    out = np.zeros((n_docs, n_bands), dtype=np.int64)
+    lens = np.array([len(d) for d in datas], dtype=np.int64)
+    long_idx = np.flatnonzero(lens >= k)
+    for i in np.flatnonzero(lens < k):  # rare: shorter than one gram
+        out[i] = minhash_bands(datas[i], k, n_bands, stride)
+    chunk_bytes = 1 << 19
+    g0 = 0
+    while g0 < len(long_idx):
+        g1, tot = g0 + 1, int(lens[long_idx[g0]])
+        while g1 < len(long_idx) and tot + lens[long_idx[g1]] <= chunk_bytes:
+            tot += int(lens[long_idx[g1]])
+            g1 += 1
+        gidx = long_idx[g0:g1]
+        g0 = g1
+        L = lens[gidx]
+        starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+        h = kgram_hashes_fast(b"".join(datas[i] for i in gidx), k)
+        # valid gram starts for doc d: starts[d] + stride·(0..n_valid[d]-1)
+        n_valid = (L - k) // stride + 1
+        bnd = np.concatenate([[0], np.cumsum(n_valid)[:-1]])
+        base = np.arange(int(n_valid.sum()), dtype=np.int64)
+        offs = (base - np.repeat(bnd, n_valid)) * stride
+        hv = h[np.repeat(starts, n_valid) + offs]
+        for band in range(n_bands):
+            a = np.uint64(2 * band + 1)
+            c = np.uint64(0x9E3779B9 + band * 0x85EBCA6B)
+            mixed = (hv * a + c) % _P
+            out[gidx, band] = np.minimum.reduceat(mixed, bnd).astype(np.int64)
+    return out
+
+
 def winnow_fingerprint(data: bytes, k: int, window: int) -> tuple[int, int]:
     """Winnowing-style fingerprint: min hash per window of consecutive
     k-grams, distinct-set → stable 64-bit digest + gram count."""

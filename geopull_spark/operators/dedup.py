@@ -41,17 +41,24 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
 
     A native-SQL shingle variant (transform/sequence over ``substr``) would
     be O(n²) in text length because Spark's ``substr`` re-scans the UTF8
-    string per gram (measured r1) — hence the numpy kernel."""
-    from ..kernels.texthash import minhash_bands
+    string per gram (measured r1) — hence the numpy kernel. The kernel runs
+    ONCE per Arrow batch over concatenated bytes + offsets (VERDICT r4 #6;
+    bit-identical to the per-doc path, pinned by
+    test_minhash_batch_kernel_bit_identical)."""
+    from ..kernels.texthash import minhash_bands_batch
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def mh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-            else:
-                out.append(minhash_bands(t.encode("utf-8"), 8, n_bands))
+        out: list = [None] * len(texts)
+        datas, idx = [], []
+        for i, t in enumerate(texts):
+            if t is not None:
+                datas.append(t.encode("utf-8"))
+                idx.append(i)
+        if datas:
+            sigs = minhash_bands_batch(datas, 8, n_bands)
+            for j, i in enumerate(idx):
+                out[i] = [int(x) for x in sigs[j]]
         return pd.Series(out, dtype=object)
 
     sig = docs.select(id_col, mh(F.col(text_col)).alias("bands"))

@@ -775,6 +775,23 @@ def test_jpeg_multiscan_baseline_raises():
         jpeg_decode(patched)
 
 
+def test_minhash_batch_kernel_bit_identical():
+    """VERDICT r4 #6: the batched signature kernel (one pass per Arrow
+    batch) must match the per-document kernel bit-for-bit — including docs
+    shorter than k, empty docs, seam-adjacent grams, and strides."""
+    from geopull_spark.kernels.texthash import minhash_bands, minhash_bands_batch
+
+    rng = np.random.RandomState(11)
+    docs = [bytes(rng.randint(32, 127, size=n, dtype=np.uint8).tolist())
+            for n in [0, 1, 3, 7, 8, 9, 50, 200, 1000, 4096, 5, 8, 64]]
+    docs += [b"aaaaaaaaaaaaaaaa", b"abcabcabcabc", bytes(range(256)) * 4]
+    for k, n_bands, stride in [(8, 8, 1), (5, 4, 1), (8, 8, 3), (3, 2, 2)]:
+        batch = minhash_bands_batch(docs, k, n_bands, stride)
+        for i, d in enumerate(docs):
+            single = minhash_bands(d, k, n_bands, stride)
+            assert list(batch[i]) == single, (k, n_bands, stride, i)
+
+
 def test_media_decode_fuzz_clean_errors():
     """VERDICT r4 #4 (crawl robustness): random truncation, bit flips, and
     garbage splices over PNG/WAV/JPEG fixtures must either decode or raise a
