@@ -145,9 +145,15 @@ def dissolve(wkb_bufs) -> list:
 
 def is_simple_polygon(rings) -> bool:
     """Fast validity check: closed rings, no zero-length edges, no
-    self/cross intersections among ring segments (vectorized pairwise —
-    rings from our own face extraction are small). Valid ⇒ make_valid is
-    the identity, skipping a full node+polygonize round."""
+    self/cross intersections among ring segments. Valid ⇒ make_valid is
+    the identity, skipping a full node+polygonize round.
+
+    Round 5: candidate segment pairs come from a minx sweep over segment
+    bboxes (only bbox-overlapping pairs can cross or collinear-overlap, so
+    the restriction is exact) instead of a dense n² matrix capped at 400
+    segments — the cap silently routed every LARGE valid polygon (real
+    coastline parts) onto the snap-grid repair path, perturbing bytes that
+    needed no repair and paying a full node+polygonize for nothing."""
     segs = []
     for ring in rings:
         r = np.asarray(ring, dtype=np.float64)
@@ -164,9 +170,24 @@ def is_simple_polygon(rings) -> bool:
         segs.append(np.column_stack([r[:-1], r[1:]]))
     s = np.vstack(segs)
     n = len(s)
-    if n > 400:  # pairwise matrix too big — take the slow exact path
-        return False
-    i, j = np.triu_indices(n, k=1)
+    blo = np.minimum(s[:, 0:2], s[:, 2:4])
+    bhi = np.maximum(s[:, 0:2], s[:, 2:4])
+    order = np.argsort(blo[:, 0], kind="stable")
+    sminx = blo[order, 0]
+    pair_i, pair_j = [], []
+    for idx in range(n - 1):
+        a = order[idx]
+        end = np.searchsorted(sminx, bhi[a, 0], side="right")
+        js = order[idx + 1:end]
+        ok = (blo[js, 1] <= bhi[a, 1]) & (bhi[js, 1] >= blo[a, 1])
+        js = js[ok]
+        if len(js):
+            pair_i.append(np.full(len(js), a))
+            pair_j.append(js)
+    if not pair_i:
+        return True
+    i = np.concatenate(pair_i)
+    j = np.concatenate(pair_j)
     p = s[i, 0:2]
     r = s[i, 2:4] - p
     q = s[j, 0:2]

@@ -691,6 +691,24 @@ def test_make_valid_archipelago_scales():
     assert time.time() - t0 < 30.0
 
 
+def test_is_simple_large_polygon_no_cap():
+    """Round 5: the 400-segment cap is gone — a 5000-vertex valid polygon
+    passes through make_valid byte-identical, and the same polygon with one
+    crossing injected is still caught."""
+    n = 5000
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    rad = 1.0 + 0.2 * np.sin(7 * th)
+    ring = np.column_stack([rad * np.cos(th), rad * np.sin(th)])
+    ring = np.vstack([ring, ring[0]])
+    assert overlay.is_simple_polygon([ring])
+    out = overlay.make_valid(("Polygon", [ring]))
+    assert len(out) == 1 and wkb.dumps(out[0]) == wkb.dumps(("Polygon", [ring]))
+    crossed = ring.copy()
+    # drag one vertex far outside: its chords must pierce the boundary
+    crossed[n // 2] = [3.0, 0.05]
+    assert not overlay.is_simple_polygon([crossed])
+
+
 def test_make_valid_snap_noding_golden():
     """The ONE remaining documented divergence vs GEOS, pinned as a golden:
     self-intersection coordinates are snapped to the exact 1e-9° grid
