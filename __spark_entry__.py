@@ -427,6 +427,54 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_simhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall property vs an independent engine (round 5, the
+    q_minhash_containment recipe): identical texts have identical SimHash
+    signatures (hamming 0), so every exact-duplicate pair must appear among
+    the banded candidates. Spark returns the exact-dup pairs semi-joined
+    with the simhash candidate set; the oracle returns the dup pairs alone —
+    a bucketing/recall bug drops a row → RED."""
+    from geopull_spark.operators.dedup import simhash_neardup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a, b = d.alias("a"), d.alias("b")
+    dups = (
+        a.join(b, F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cands = simhash_neardup(d, max_hamming=10).select("doc_a", "doc_b")
+    return dups.join(cands, ["doc_a", "doc_b"], "left_semi")
+
+
+def q_fingerprint_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint determinism property: identical texts must get
+    identical (fingerprint, gram-count). Spark returns the exact-dup pairs
+    whose fingerprints agree; the oracle returns all exact-dup pairs —
+    any text-dependence bug in the kernel drops a row → RED."""
+    from geopull_spark.operators.text import doc_fingerprint
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = doc_fingerprint(d)
+    a, b = d.alias("a"), d.alias("b")
+    dups = (
+        a.join(b, F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"),
+                   F.col("fingerprint").alias("fp_a"),
+                   F.col("n_fingerprint_grams").alias("ng_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"),
+                   F.col("fingerprint").alias("fp_b"),
+                   F.col("n_fingerprint_grams").alias("ng_b"))
+    return (
+        dups.join(fa, "doc_a").join(fb, "doc_b")
+        .filter((F.col("fp_a") == F.col("fp_b")) & (F.col("ng_a") == F.col("ng_b")))
+        .select("doc_a", "doc_b")
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-token count + chars/4 estimate (oracle-checked; the BPE-ish
     regex column needs lookarounds DuckDB's RE2 lacks → separate rows-only
@@ -661,6 +709,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_groups": q_dedup_groups,
     "simhash_neardup": q_simhash_neardup,
+    "simhash_containment": q_simhash_containment,
+    "fingerprint_consistency": q_fingerprint_consistency,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -941,6 +991,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT) AS n_the,
                    length(text) AS n_chars_actual
             FROM documents
+        """,
+        "simhash_containment": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM documents a JOIN documents b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "fingerprint_consistency": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM documents a JOIN documents b
+              ON a.text = b.text AND a.doc_id < b.doc_id
         """,
         "minhash_containment": """
             WITH grams AS (

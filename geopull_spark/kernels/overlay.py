@@ -170,24 +170,30 @@ def is_simple_polygon(rings) -> bool:
         segs.append(np.column_stack([r[:-1], r[1:]]))
     s = np.vstack(segs)
     n = len(s)
-    blo = np.minimum(s[:, 0:2], s[:, 2:4])
-    bhi = np.maximum(s[:, 0:2], s[:, 2:4])
-    order = np.argsort(blo[:, 0], kind="stable")
-    sminx = blo[order, 0]
-    pair_i, pair_j = [], []
-    for idx in range(n - 1):
-        a = order[idx]
-        end = np.searchsorted(sminx, bhi[a, 0], side="right")
-        js = order[idx + 1:end]
-        ok = (blo[js, 1] <= bhi[a, 1]) & (bhi[js, 1] >= blo[a, 1])
-        js = js[ok]
-        if len(js):
-            pair_i.append(np.full(len(js), a))
-            pair_j.append(js)
-    if not pair_i:
-        return True
-    i = np.concatenate(pair_i)
-    j = np.concatenate(pair_j)
+    if n <= 400:
+        # dense pair matrix: cheapest for the common small polygon (one
+        # vectorized call, no sort) — 80k pairs max
+        i, j = np.triu_indices(n, k=1)
+    else:
+        # vectorized minx sweep (no Python loop): for the idx-th segment in
+        # minx order, candidates are the following segments whose minx is
+        # within its x-extent; y-overlap filters the rest
+        blo = np.minimum(s[:, 0:2], s[:, 2:4])
+        bhi = np.maximum(s[:, 0:2], s[:, 2:4])
+        order = np.argsort(blo[:, 0], kind="stable")
+        olo, ohi = blo[order], bhi[order]
+        his = np.searchsorted(olo[:, 0], ohi[:, 0], side="right")
+        cnt = np.maximum(his - np.arange(n) - 1, 0)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return True
+        I = np.repeat(np.arange(n), cnt)
+        st = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        J = I + 1 + (np.arange(tot, dtype=np.int64) - np.repeat(st, cnt))
+        yok = (olo[J, 1] <= ohi[I, 1]) & (ohi[J, 1] >= olo[I, 1])
+        i, j = order[I[yok]], order[J[yok]]
+        if len(i) == 0:
+            return True
     p = s[i, 0:2]
     r = s[i, 2:4] - p
     q = s[j, 0:2]
@@ -369,7 +375,10 @@ def make_valid(geom) -> list:
 
     if n > 1:
         order = np.argsort(boxes[:, 0], kind="stable")
-        sminx = boxes[order, 0]
+        ob = boxes[order]
+        his = np.searchsorted(ob[:, 0], ob[:, 2], side="right")
+        cnt = np.maximum(his - np.arange(n) - 1, 0)
+        tot = int(cnt.sum())
         seg_cache: dict[int, np.ndarray] = {}
 
         def segs_of(i: int) -> np.ndarray:
@@ -377,13 +386,13 @@ def make_valid(geom) -> list:
                 seg_cache[i] = geoms_to_segments([poly_parts[i]])
             return seg_cache[i]
 
-        for idx in range(n - 1):
-            i = int(order[idx])
-            hi = int(np.searchsorted(sminx, boxes[i, 2], side="right"))
-            js = order[idx + 1:hi]
-            ok = (boxes[js, 1] <= boxes[i, 3]) & (boxes[js, 3] >= boxes[i, 1])
-            for j in js[ok]:
-                j = int(j)
+        if tot:
+            I = np.repeat(np.arange(n), cnt)
+            st = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            J = I + 1 + (np.arange(tot, dtype=np.int64) - np.repeat(st, cnt))
+            yok = (ob[J, 1] <= ob[I, 3]) & (ob[J, 3] >= ob[I, 1])
+            for i, j in zip(order[I[yok]], order[J[yok]]):
+                i, j = int(i), int(j)
                 if find(i) != find(j) and _parts_interact(
                     poly_parts[i], poly_parts[j],
                     segs_of(i), segs_of(j), boxes[i], boxes[j],
