@@ -272,16 +272,15 @@ def _segments_interact(sa: np.ndarray, sb: np.ndarray, window) -> bool:
         coll = ~nz & (np.abs(cross_qp_r) <= e)
         if coll.any():
             ai, bi = np.nonzero(coll)
-            for x, y in zip(ai, bi):
-                d = a[x, 2:4] - a[x, 0:2]
-                dd = float(d @ d)
-                if dd == 0.0:
-                    continue
-                tb0 = float((sb[y, 0:2] - a[x, 0:2]) @ d)
-                tb1 = float((sb[y, 2:4] - a[x, 0:2]) @ d)
-                lo, hi = min(tb0, tb1), max(tb0, tb1)
-                if min(dd, hi) - max(0.0, lo) > e * dd:
-                    return True
+            d = a[ai, 2:4] - a[ai, 0:2]
+            dd = np.einsum("ij,ij->i", d, d)
+            tb0 = np.einsum("ij,ij->i", sb[bi, 0:2] - a[ai, 0:2], d)
+            tb1 = np.einsum("ij,ij->i", sb[bi, 2:4] - a[ai, 0:2], d)
+            plo = np.minimum(tb0, tb1)
+            phi = np.maximum(tb0, tb1)
+            if np.any((dd > 0)
+                      & (np.minimum(dd, phi) - np.maximum(0.0, plo) > e * dd)):
+                return True
     return False
 
 
