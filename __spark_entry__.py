@@ -429,38 +429,42 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash recall property vs an independent engine (round 5, the
-    q_minhash_containment recipe): identical texts have identical SimHash
-    signatures (hamming 0), so every exact-duplicate pair must appear among
-    the banded candidates. Spark returns the exact-dup pairs semi-joined
-    with the simhash candidate set; the oracle returns the dup pairs alone —
-    a bucketing/recall bug drops a row → RED."""
+    q_minhash_containment recipe). The driver's documents table has no
+    duplicate texts at sf0.01, so the property is exercised by planting
+    them: every doc gets an exact twin at doc_id + 1_000_000 (doc_id max
+    is 4999). Identical texts have identical SimHash signatures (hamming
+    0), so every (doc, twin) pair MUST appear among the banded candidates
+    — this also exercises the r5 equal-signature collapse path. Spark
+    returns the planted pairs semi-joined with the candidate set; the
+    oracle returns the planted pairs alone — a bucketing/recall bug drops
+    a row → RED."""
     from geopull_spark.operators.dedup import simhash_neardup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    a, b = d.alias("a"), d.alias("b")
-    dups = (
-        a.join(b, F.col("a.text") == F.col("b.text"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    twin = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    dups = d.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_b"),
     )
-    cands = simhash_neardup(d, max_hamming=10).select("doc_a", "doc_b")
+    cands = simhash_neardup(d.unionByName(twin), max_hamming=10).select("doc_a", "doc_b")
     return dups.join(cands, ["doc_a", "doc_b"], "left_semi")
 
 
 def q_fingerprint_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint determinism property: identical texts must get
-    identical (fingerprint, gram-count). Spark returns the exact-dup pairs
-    whose fingerprints agree; the oracle returns all exact-dup pairs —
-    any text-dependence bug in the kernel drops a row → RED."""
+    identical (fingerprint, gram-count). No duplicate texts exist at sf0.01,
+    so they are planted (twin rows at doc_id + 1_000_000, same recipe as
+    q_simhash_containment). Spark returns the planted pairs whose
+    fingerprints agree; the oracle returns all planted pairs — any
+    text-dependence bug in the kernel drops a row → RED."""
     from geopull_spark.operators.text import doc_fingerprint
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fp = doc_fingerprint(d)
-    a, b = d.alias("a"), d.alias("b")
-    dups = (
-        a.join(b, F.col("a.text") == F.col("b.text"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    twin = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    fp = doc_fingerprint(d.unionByName(twin))
+    dups = d.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_b"),
     )
     fa = fp.select(F.col("doc_id").alias("doc_a"),
                    F.col("fingerprint").alias("fp_a"),
@@ -993,14 +997,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "simhash_containment": """
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM documents a JOIN documents b
-              ON a.text = b.text AND a.doc_id < b.doc_id
+            SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM documents
         """,
         "fingerprint_consistency": """
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM documents a JOIN documents b
-              ON a.text = b.text AND a.doc_id < b.doc_id
+            SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM documents
         """,
         "minhash_containment": """
             WITH grams AS (
