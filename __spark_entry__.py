@@ -507,6 +507,59 @@ def q_zonal_population(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_population(blocks).orderBy("block_id")
 
 
+def q_pip_rect_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 PIP assignment VALUE oracle (round 5): the full assignment
+    machinery — bbox cover index, multi-res cell equi-join, Arrow cogroup
+    PIP refine kernel — run against a deterministic 8×8 rectangle grid per
+    region, where the correct assignment is pure integer interval
+    arithmetic an independent engine reproduces exactly (col = lon-numerator
+    // 12500 on the exact doc-point rationals k/100000). Docs whose exact
+    coordinates sit ON a grid line are excluded symmetrically in both
+    engines by an INTEGER test (no float ambiguity); every remaining doc
+    must land in exactly one rectangle or the cover/kernel is wrong. This
+    promotes the J7 path from rows-only (`doc_block_assign` stays the
+    polygonized-pipeline smoke) to a hash-checked value oracle."""
+    from geopull_spark.operators.spatial_join import assign_docs_to_blocks
+    from geopull_spark.sources.synth import interleaved_documents, rect_zones
+
+    docs = interleaved_documents(spark, sf_dir)
+    on_line = (
+        "(CAST(doc_id AS BIGINT) * 48271) % 100000 % 12500 = 0 OR "
+        "(CAST(doc_id AS BIGINT) * 69621) % 100000 % 12500 = 0"
+    )
+    docs = docs.filter(~F.expr(on_line))
+    zones = rect_zones(spark)
+    out = assign_docs_to_blocks(docs, zones)
+    return out.select("doc_id", "block_id").orderBy("doc_id")
+
+
+_ZONAL_LON_EDGES = [0.0, 0.11, 0.35, 0.62, 1.0]
+_ZONAL_LAT_EDGES = [0.0, 0.17, 0.4, 0.78, 1.0]
+
+
+def q_zonal_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 zonal machinery VALUE oracle (round 5): coverage-fraction weights
+    (bbox cover + Sutherland–Hodgman cell∩zone clip, `zonal_cell_weights`)
+    joined against a cell-degree-area raster through the real
+    `zonal_aggregate` plan must recover each zone's EXACT area — the
+    conservation invariant as a query — and rectangle zones make the truth
+    side pure interval arithmetic in DuckDB. Uneven edges give every zone a
+    distinct area so a constant or approximate answer cannot pass. This
+    promotes the J9 path from rows-only (`zonal_population` stays the
+    polygonized-pipeline smoke) to a hash-checked value oracle."""
+    from geopull_spark.operators.spatial_join import cell_tile_areas, zonal_aggregate
+    from geopull_spark.sources.synth import rect_zones
+
+    zones = rect_zones(
+        spark, lon_edges=_ZONAL_LON_EDGES, lat_edges=_ZONAL_LAT_EDGES
+    )
+    raster = cell_tile_areas(zones)
+    out = zonal_aggregate(zones, raster, value_col="area")
+    return out.select(
+        "block_id", F.round("zonal_sum", 7).alias("area_deg2")
+    ).orderBy("block_id")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN — containment oracle (VERDICT r4 #3,
     mirroring q_minhash_containment): Spark computes the EXACT brute-force
@@ -721,6 +774,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "token_bpe": q_token_bpe,
     "zonal_population": q_zonal_population,
+    "pip_rect_assign": q_pip_rect_assign,
+    "zonal_rect": q_zonal_rect,
     "ann_lsh": q_ann_lsh,
     "registry_join": q_registry_join,
     "media_features": q_media_features,
@@ -1109,6 +1164,43 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4
             FROM documents
+        """,
+        # J7 PIP value oracle: the doc point is the exact rational
+        # (k_lon/100000, k_lat/100000) inside the unit region box, so the
+        # containing 8×8 grid rectangle is integer division of the
+        # numerators by 12500; grid-line hits are excluded by the SAME
+        # integer test the Spark side applies (measure-zero float drift
+        # is impossible — no floats appear anywhere in the truth side).
+        "pip_rect_assign": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   concat(
+                     CASE doc_id % 3 WHEN 0 THEN 'AAA' WHEN 1 THEN 'BBB' ELSE 'CCC' END,
+                     '_',
+                     CAST(((doc_id * 48271) % 100000) // 12500 AS VARCHAR),
+                     '_',
+                     CAST(((doc_id * 69621) % 100000) // 12500 AS VARCHAR)
+                   ) AS block_id
+            FROM documents
+            WHERE ((doc_id * 48271) % 100000) % 12500 != 0
+              AND ((doc_id * 69621) % 100000) % 12500 != 0
+            ORDER BY doc_id
+        """,
+        # J9 zonal value oracle: coverage-fraction weights × cell areas must
+        # recover each rectangle zone's exact area (x2-x1)·(y2-y1). Edge
+        # literals mirror _ZONAL_LON_EDGES/_ZONAL_LAT_EDGES; both engines
+        # parse identical doubles, and the Spark side's clip-sum agrees to
+        # ~1e-13 relative, far inside ROUND(...,7).
+        "zonal_rect": """
+            WITH le(ci, x1, x2) AS (VALUES
+                 (0, 0.0, 0.11), (1, 0.11, 0.35), (2, 0.35, 0.62), (3, 0.62, 1.0)),
+               la(rj, y1, y2) AS (VALUES
+                 (0, 0.0, 0.17), (1, 0.17, 0.4), (2, 0.4, 0.78), (3, 0.78, 1.0)),
+               reg(code) AS (VALUES ('AAA'), ('BBB'), ('CCC'))
+            SELECT concat(code, '_', CAST(ci AS VARCHAR), '_', CAST(rj AS VARCHAR))
+                     AS block_id,
+                   ROUND((x2 - x1) * (y2 - y1), 7) AS area_deg2
+            FROM reg, le, la
+            ORDER BY block_id
         """,
         "knn_docs": """
             WITH pts AS (

@@ -688,6 +688,37 @@ def zonal_aggregate(blocks: DataFrame, raster: DataFrame, value_col: str = "valu
     )
 
 
+def cell_tile_areas(blocks: DataFrame, res: int = INDEX_RES) -> DataFrame:
+    """Degree-area raster of the cells covering ``blocks``: one (cell, area)
+    row per distinct covering cell. Feeding this to :func:`zonal_aggregate`
+    turns the conservation invariant into data — Σ weight·area(cell) must
+    recover area(zone) exactly — which is what lets J9 be VALUE-oracled
+    against exact rectangle areas (``__spark_entry__.q_zonal_rect``)."""
+
+    def gen(batches):
+        for pdf in batches:
+            cells_out: list[int] = []
+            area_out: list[float] = []
+            for minx, miny, maxx, maxy in zip(
+                pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"]
+            ):
+                cover = _cells.cover_bbox(minx, miny, maxx, maxy, res, cap=262144)
+                bounds = _cells.cells_bounds(cover)
+                cells_out.extend(int(c) for c in cover)
+                area_out.extend(
+                    float((b[2] - b[0]) * (b[3] - b[1])) for b in bounds
+                )
+            yield pd.DataFrame({"cell": cells_out, "area": area_out})
+
+    return (
+        _ensure_bbox(blocks)
+        .select("minx", "miny", "maxx", "maxy")
+        .mapInPandas(gen, "cell long, area double")
+        .groupBy("cell")
+        .agg(F.first("area").alias("area"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # kNN (J8)
 # ---------------------------------------------------------------------------

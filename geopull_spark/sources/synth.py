@@ -263,3 +263,41 @@ def interleaved_documents(spark: SparkSession, sf_dir: str, n_regions: int = 3) 
             "lat",
         )
     )
+
+
+def rect_zones(
+    spark: SparkSession,
+    lon_edges: list[float] | None = None,
+    lat_edges: list[float] | None = None,
+) -> DataFrame:
+    """Deterministic axis-aligned rectangle zones tiling each canonical
+    region box, WKB built by the engine's own writer. Exists so the J7 PIP
+    and J9 zonal machinery can be VALUE-oracled: rectangle containment /
+    overlap is exact interval arithmetic an independent SQL engine
+    reproduces (``__spark_entry__.q_pip_rect_assign`` / ``q_zonal_rect``).
+
+    ``lon_edges`` / ``lat_edges`` are fractions of the unit region box
+    (default: a uniform 8×8 grid — edges at k/8, exactly representable).
+    zone id = ``{region}_{col}_{row}``. Tiny dim table (≤ hundreds of rows)
+    built driver-side like the engine registry (`sources/registry.py`).
+    """
+    if lon_edges is None:
+        lon_edges = [i / 8.0 for i in range(9)]
+    if lat_edges is None:
+        lat_edges = [i / 8.0 for i in range(9)]
+    rows = []
+    for code in REGIONS:
+        x0, y0, _, _ = REGION_BOX[code]
+        for ci in range(len(lon_edges) - 1):
+            for rj in range(len(lat_edges) - 1):
+                x1, x2 = x0 + lon_edges[ci], x0 + lon_edges[ci + 1]
+                y1, y2 = y0 + lat_edges[rj], y0 + lat_edges[rj + 1]
+                geom = wkb.polygon(
+                    [(x1, y1), (x2, y1), (x2, y2), (x1, y2), (x1, y1)]
+                )
+                rows.append((code, f"{code}_{ci}_{rj}", geom, x1, y1, x2, y2))
+    schema = (
+        "region_code string, block_id string, geometry binary, "
+        "minx double, miny double, maxx double, maxy double"
+    )
+    return spark.createDataFrame(rows, schema)

@@ -729,3 +729,46 @@ def test_decode_media_jpeg_real(spark):
     assert (row["width"], row["height"]) == (40, 24)
     decoded = jpeg_decode(buf)
     assert row["mean_luma"] == pytest.approx(float(decoded.astype("float64").mean()), abs=1e-4)
+
+
+def test_pip_rect_assign_matches_integer_truth(spark):
+    """The full J7 machinery (cover index + cell join + PIP refine kernel)
+    against rectangle zones must equal pure integer interval arithmetic on
+    the exact doc-point rationals (the q_pip_rect_assign value oracle,
+    reproduced here engine-free)."""
+    codes = ["AAA", "BBB", "CCC"]
+    ids = [r[0] for r in spark.read.parquet(f"{SF}/documents.parquet")
+           .select("doc_id").collect()]
+    truth = {}
+    for i in ids:
+        kx, ky = (i * 48271) % 100000, (i * 69621) % 100000
+        if kx % 12500 == 0 or ky % 12500 == 0:
+            continue  # on a grid line: excluded symmetrically
+        truth[str(i)] = f"{codes[i % 3]}_{kx // 12500}_{ky // 12500}"
+    docs = synth.interleaved_documents(spark, SF).filter(
+        ~F.expr("(CAST(doc_id AS BIGINT) * 48271) % 100000 % 12500 = 0 OR "
+                "(CAST(doc_id AS BIGINT) * 69621) % 100000 % 12500 = 0")
+    )
+    out = spatial_join.assign_docs_to_blocks(docs, synth.rect_zones(spark))
+    got = {r["doc_id"]: r["block_id"] for r in out.select("doc_id", "block_id").collect()}
+    assert got == truth and len(truth) > 0
+
+
+def test_zonal_rect_recovers_exact_areas(spark):
+    """Coverage-fraction weights × cell tile areas recover each rectangle
+    zone's exact area (conservation invariant as data; q_zonal_rect)."""
+    lon_e = [0.0, 0.11, 0.35, 0.62, 1.0]
+    lat_e = [0.0, 0.17, 0.4, 0.78, 1.0]
+    zones = synth.rect_zones(spark, lon_edges=lon_e, lat_edges=lat_e)
+    raster = spatial_join.cell_tile_areas(zones)
+    out = spatial_join.zonal_aggregate(zones, raster, value_col="area")
+    rows = out.select("block_id", "zonal_sum").collect()
+    assert len(rows) == 48
+    areas = set()
+    for r in rows:
+        _, ci, rj = r["block_id"].split("_")
+        ci, rj = int(ci), int(rj)
+        exact = (lon_e[ci + 1] - lon_e[ci]) * (lat_e[rj + 1] - lat_e[rj])
+        assert abs(r["zonal_sum"] - exact) < 1e-10, r
+        areas.add(round(exact, 7))
+    assert len(areas) == 16  # uneven grid: a constant answer cannot pass
