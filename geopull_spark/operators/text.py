@@ -94,20 +94,27 @@ def doc_fingerprint(docs: DataFrame, k: int = 8, window: int = 4,
     distinct-set digest. Uses the linear-time numpy rolling-hash kernel via
     an Arrow-batched pandas UDF — Spark's native ``substr(text, i, k)``
     re-scans the UTF8 string per gram, which is O(n²) in document length."""
-    from ..kernels.texthash import winnow_fingerprint
+    from ..kernels.texthash import winnow_fingerprint_batch
 
     @pandas_udf(T.StructType([
         T.StructField("fingerprint", T.LongType()),
         T.StructField("n_fingerprint_grams", T.IntegerType()),
     ]))
     def fp(texts: pd.Series) -> pd.DataFrame:
-        rows = []
-        for t in texts:
-            if t is None:
-                rows.append((None, None))
-            else:
-                rows.append(winnow_fingerprint(t.encode("utf-8"), k, window))
-        return pd.DataFrame(rows, columns=["fingerprint", "n_fingerprint_grams"])
+        # one kernel pass per ~512KB sub-group, not one per document (the
+        # per-call-overhead shape measured in VERDICT r4 #6); bit-identical
+        # to the per-doc kernel (test_winnow_batch_kernel_bit_identical)
+        mask = texts.notna()
+        datas = [t.encode("utf-8") for t in texts[mask]]
+        out = pd.DataFrame(
+            {"fingerprint": None, "n_fingerprint_grams": None},
+            index=texts.index, dtype=object,
+        )
+        if datas:
+            res = winnow_fingerprint_batch(datas, k, window)
+            out.loc[mask, "fingerprint"] = res[:, 0]
+            out.loc[mask, "n_fingerprint_grams"] = res[:, 1]
+        return out
 
     return docs.select(
         "doc_id",

@@ -810,6 +810,28 @@ def test_minhash_batch_kernel_bit_identical():
             assert list(batch[i]) == single, (k, n_bands, stride, i)
 
 
+def test_winnow_batch_kernel_bit_identical():
+    """The batched winnowing kernel (one rolling-hash pass per sub-group,
+    vectorized cross-doc FNV fold) must match the per-document kernel
+    bit-for-bit — empty docs, docs shorter than k, docs with fewer grams
+    than one window, heavy-duplicate minima, and multi-chunk batches."""
+    from geopull_spark.kernels.texthash import winnow_fingerprint, winnow_fingerprint_batch
+
+    rng = np.random.RandomState(13)
+    docs = [bytes(rng.randint(32, 127, size=n, dtype=np.uint8).tolist())
+            for n in [0, 1, 3, 7, 8, 9, 10, 33, 50, 200, 1000, 4096]]
+    docs += [b"aaaaaaaaaaaaaaaaaaaaaaaa", b"abcabcabcabcabcabc", bytes(range(256)) * 4]
+    # low-entropy long docs → many duplicate window minima (exercises the
+    # distinct pass); two 300KB docs force a sub-group boundary
+    docs += [bytes(rng.randint(97, 101, size=5000, dtype=np.uint8).tolist()),
+             bytes(rng.randint(32, 127, size=300_000, dtype=np.uint8).tolist()),
+             bytes(rng.randint(32, 127, size=300_000, dtype=np.uint8).tolist())]
+    for k, window in [(8, 4), (5, 3), (8, 1), (3, 16)]:
+        batch = winnow_fingerprint_batch(docs, k, window)
+        for i, d in enumerate(docs):
+            assert tuple(batch[i]) == winnow_fingerprint(d, k, window), (k, window, i)
+
+
 def test_media_decode_fuzz_clean_errors():
     """VERDICT r4 #4 (crawl robustness): random truncation, bit flips, and
     garbage splices over PNG/WAV/JPEG fixtures must either decode or raise a
