@@ -116,6 +116,43 @@ def run_assign_stream(
     q.awaitTermination()
 
 
+def dedup_doc_stream(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", ts_col: str = "event_ts",
+                     watermark: str = "24 hours") -> DataFrame:
+    """Cross-micro-batch exact dedup at ingest: each distinct document
+    content passes through ONCE; later copies — including copies arriving in
+    a LATER micro-batch, which a per-batch ``dropDuplicates`` misses — are
+    dropped.
+
+    Streaming frames use Spark's ``dropDuplicatesWithinWatermark`` keyed on
+    the 64-bit content hash: the state store holds one (hash, first-seen
+    event time) entry per distinct document inside the watermark and evicts
+    older entries, so state is bounded by arrival rate × watermark and is
+    independent of document length (the 8-byte hash, not the text, is the
+    key — ~10⁸ distinct docs/day is a few GB of state across a cluster). A
+    duplicate arriving more than ``watermark`` after the original may pass;
+    at crawl scale that is the correct memory/completeness trade, and the
+    batch near-dup pass downstream catches stragglers.
+
+    Batch frames get the deterministic equivalent: the first occurrence per
+    content hash, ordered by (``ts_col`` if present, ``id_col``) — one
+    hash-keyed shuffle carrying each group's min struct, no join-back.
+    Stream output equals the batch form whenever arrival order follows
+    (event time, id) — pinned by ``test_dedup_doc_stream_cross_batch``.
+    """
+    d = docs.withColumn("content_hash", F.xxhash64(F.col(text_col)))
+    if d.isStreaming:
+        return (
+            d.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"])
+        )
+    cols = d.columns
+    order = ([ts_col] if ts_col in cols else []) + [id_col]
+    packed = order + [c for c in cols if c not in order]
+    first = d.groupBy("content_hash").agg(F.min(F.struct(*packed)).alias("p"))
+    return first.select("p.*").select(*cols)
+
+
 def event_sessions(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Gap-based sessionization per user (SURVEY §2.9 stateful-operator

@@ -149,3 +149,46 @@ def test_event_sessions_streaming_and_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination()  # smoke: the stateful plan runs and checkpoints
+
+
+def test_dedup_doc_stream_cross_batch(spark, tmp_path):
+    """Cross-micro-batch exact dedup: a duplicate arriving in a LATER
+    micro-batch is dropped (per-batch dropDuplicates would keep it), the
+    first occurrence passes through, and stream output equals the batch
+    form when arrival follows (event_ts, doc_id) order."""
+    cols = ["doc_id", "text", "event_ts_s"]
+    batch1 = [("a", "the quick brown fox", "2026-01-01 10:00:00"),
+              ("b", "lorem ipsum dolor", "2026-01-01 10:01:00")]
+    batch2 = [("c", "the quick brown fox", "2026-01-01 10:02:00"),  # dup of a
+              ("d", "entirely new content", "2026-01-01 10:03:00"),
+              ("e", "lorem ipsum dolor", "2026-01-01 10:04:00")]    # dup of b
+    def mk(rows):
+        return (spark.createDataFrame(rows, cols)
+                .withColumn("event_ts", F.to_timestamp("event_ts_s"))
+                .drop("event_ts_s"))
+    in_dir = str(tmp_path / "dd_in")
+    # one file per micro-batch (maxFilesPerTrigger=1): the duplicates sit in
+    # a different batch than their originals, so only cross-batch state
+    # can drop them
+    mk(batch1).coalesce(1).write.mode("append").parquet(in_dir)
+    mk(batch2).coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = mk(batch1).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (ingest.dedup_doc_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("dd_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dd_out").collect()}
+    assert got == {"a", "b", "d"}  # c and e (cross-batch dups) dropped
+
+    # batch form on the union: same survivors, full rows carried through
+    allrows = mk(batch1).unionByName(mk(batch2))
+    b = ingest.dedup_doc_stream(allrows).collect()
+    assert {r["doc_id"] for r in b} == {"a", "b", "d"}
+    assert {r["text"] for r in b} == {"the quick brown fox", "lorem ipsum dolor",
+                                      "entirely new content"}
