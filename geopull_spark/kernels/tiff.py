@@ -1,0 +1,380 @@
+"""From-spec baseline GeoTIFF codec (TIFF 6.0 + GeoTIFF 1.1 georeferencing).
+
+The zonal join (J9, ``operators/spatial_join.py:zonal_aggregate``) consumes a
+raster-tile table keyed by cell; this module is the bridge from an actual
+GeoTIFF file to that table. Written from the public specifications (TIFF 6.0
+§2-§8: header / IFD / strip + tile layouts; GeoTIFF ModelPixelScaleTag 33550 /
+ModelTiepointTag 33922) — no external imaging library, same ground rules as
+``kernels/jpeg.py`` / ``kernels/png.py``.
+
+Decode support (the north-up population-raster shape):
+  - both byte orders (II little / MM big), classic 32-bit TIFF
+  - strip-based and tiled layouts, PlanarConfiguration 1, 1 sample/pixel
+  - Compression 1 (none) and 8 (zlib/Adobe deflate), Predictor 1 and 2
+    (horizontal differencing)
+  - BitsPerSample 8/16/32, SampleFormat 1 (uint) / 2 (int) / 3 (IEEE float)
+  - georeferencing from ModelPixelScale + ModelTiepoint (no rotation — the
+    ModelTransformationTag 34264 affine-with-rotation form raises)
+  - GDAL_NODATA (tag 42113) surfaced as ``meta["nodata"]``
+
+Anything else (LZW/PackBits/JPEG-in-TIFF, palette, planar=2, BigTIFF,
+multi-sample) raises a clean ValueError — crawl-robustness contract shared
+with the other codecs (decode_media's ``on_error="skip"`` quarantines it).
+
+The header/IFD parse is split from pixel decode on purpose: a Spark reader
+parses the few-KB IFD once on the driver and ships per-strip/tile byte
+ranges to executors (``sources/raster.py``), so a 100 GB raster never passes
+through the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# TIFF tag ids (TIFF 6.0 §8, GeoTIFF 1.1 §7, GDAL nodata convention)
+_TAG_WIDTH = 256
+_TAG_LENGTH = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SAMPLES_PER_PIXEL = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+_TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
+_TAG_SAMPLE_FORMAT = 339
+_TAG_MODEL_PIXEL_SCALE = 33550
+_TAG_MODEL_TIEPOINT = 33922
+_TAG_MODEL_TRANSFORMATION = 34264
+_TAG_GEO_KEYS = 34735
+_TAG_GDAL_NODATA = 42113
+
+# field type → (struct fmt char, byte size); TIFF 6.0 §2 type codes
+_TYPES = {
+    1: ("B", 1),   # BYTE
+    2: ("c", 1),   # ASCII
+    3: ("H", 2),   # SHORT
+    4: ("I", 4),   # LONG
+    5: ("II", 8),  # RATIONAL (2×LONG)
+    6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+    11: ("f", 4), 12: ("d", 8),
+}
+
+
+def _read_ifd_entries(data: bytes, bo: str, ifd_off: int) -> dict[int, list]:
+    if ifd_off + 2 > len(data):
+        raise ValueError("tiff: IFD offset beyond EOF")
+    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(data):
+            raise ValueError("tiff: truncated IFD")
+        tag, ftype, count = struct.unpack_from(bo + "HHI", data, off)
+        if ftype not in _TYPES:
+            continue  # unknown field type: skip per TIFF 6.0 reader guidance
+        fmt, size = _TYPES[ftype]
+        total = size * count
+        if total <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", data, off + 8)
+        if voff + total > len(data):
+            raise ValueError(f"tiff: tag {tag} value beyond EOF")
+        if ftype == 2:  # ASCII
+            raw = data[voff: voff + count]
+            tags[tag] = [raw.split(b"\x00")[0].decode("ascii", "replace")]
+        elif ftype in (5, 10):  # RATIONALs → floats
+            vals = struct.unpack_from(bo + fmt * count, data, voff)
+            tags[tag] = [vals[2 * j] / (vals[2 * j + 1] or 1) for j in range(count)]
+        else:
+            tags[tag] = list(struct.unpack_from(bo + fmt * count, data, voff))
+    return tags
+
+
+def tiff_parse_meta(data: bytes) -> dict:
+    """Parse header + first IFD into a metadata dict — NO pixel decode.
+
+    Returns width/height, dtype, layout (``"strip"`` | ``"tile"``), per-chunk
+    (offset, bytecount) lists, chunk grid shape, compression/predictor, and
+    the GeoTIFF affine (lon0, lat0 of the raster's top-left OUTER corner,
+    pixel sizes). This is the driver-side half of the distributed reader."""
+    if len(data) < 8:
+        raise ValueError("tiff: shorter than header")
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("tiff: bad byte-order mark")
+    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    if magic == 43:
+        raise ValueError("tiff: BigTIFF not supported")
+    if magic != 42:
+        raise ValueError("tiff: bad magic")
+    t = _read_ifd_entries(data, bo, ifd_off)
+
+    def one(tag: int, default=None):
+        v = t.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"tiff: required tag {tag} missing")
+            return default
+        return v[0]
+
+    width, height = int(one(_TAG_WIDTH)), int(one(_TAG_LENGTH))
+    if width <= 0 or height <= 0:
+        raise ValueError("tiff: non-positive dimensions")
+    if int(one(_TAG_SAMPLES_PER_PIXEL, 1)) != 1:
+        raise ValueError("tiff: only 1 sample/pixel supported")
+    if int(one(_TAG_PLANAR, 1)) != 1:
+        raise ValueError("tiff: planar configuration 2 not supported")
+    comp = int(one(_TAG_COMPRESSION, 1))
+    if comp not in (1, 8):
+        raise ValueError(f"tiff: compression {comp} not supported (none/deflate only)")
+    pred = int(one(_TAG_PREDICTOR, 1))
+    if pred not in (1, 2):
+        raise ValueError(f"tiff: predictor {pred} not supported")
+    bits = int(one(_TAG_BITS, 8))
+    sfmt = int(one(_TAG_SAMPLE_FORMAT, 1))
+    dtype = {
+        (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+        (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+        (3, 32): "f4",
+    }.get((sfmt, bits))
+    if dtype is None:
+        raise ValueError(f"tiff: sample format {sfmt}/{bits}-bit not supported")
+    if pred == 2 and dtype == "f4":
+        raise ValueError("tiff: floating-point predictor on float samples not supported")
+
+    if _TAG_TILE_OFFSETS in t:
+        tw, th = int(one(_TAG_TILE_WIDTH)), int(one(_TAG_TILE_LENGTH))
+        if tw % 16 or th % 16:
+            raise ValueError("tiff: tile dims must be multiples of 16")
+        offsets, counts = t[_TAG_TILE_OFFSETS], t[_TAG_TILE_COUNTS]
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        layout, cw, ch = "tile", tw, th
+    else:
+        if _TAG_STRIP_OFFSETS not in t:
+            raise ValueError("tiff: neither strip nor tile offsets present")
+        rps = int(one(_TAG_ROWS_PER_STRIP, height))
+        offsets, counts = t[_TAG_STRIP_OFFSETS], t.get(_TAG_STRIP_COUNTS)
+        if counts is None:
+            raise ValueError("tiff: StripByteCounts missing")
+        across, down = 1, (height + rps - 1) // rps
+        layout, cw, ch = "strip", width, rps
+    if len(offsets) != across * down or len(counts) != across * down:
+        raise ValueError("tiff: chunk offset/count arity mismatch")
+
+    if _TAG_MODEL_TRANSFORMATION in t:
+        m = t[_TAG_MODEL_TRANSFORMATION]
+        if len(m) >= 16 and (m[1] != 0.0 or m[4] != 0.0):
+            raise ValueError("tiff: rotated ModelTransformation not supported")
+        sx, sy = m[0], -m[5]
+        lon0, lat0 = m[3], m[7]
+    else:
+        scale = t.get(_TAG_MODEL_PIXEL_SCALE)
+        tie = t.get(_TAG_MODEL_TIEPOINT)
+        if not scale or not tie or len(tie) < 6:
+            raise ValueError("tiff: no georeferencing (ModelPixelScale+Tiepoint)")
+        sx, sy = scale[0], scale[1]
+        # tiepoint: raster (i,j,k) → model (x,y,z); anchor the affine so
+        # pixel (0,0)'s OUTER corner is (lon0, lat0)
+        lon0 = tie[3] - tie[0] * sx
+        lat0 = tie[4] + tie[1] * sy
+    nodata = None
+    if _TAG_GDAL_NODATA in t:
+        try:
+            nodata = float(str(t[_TAG_GDAL_NODATA][0]).strip())
+        except ValueError:
+            nodata = None
+
+    return {
+        "width": width, "height": height, "dtype": dtype, "byteorder": bo,
+        "compression": comp, "predictor": pred, "layout": layout,
+        "chunk_width": cw, "chunk_height": ch,
+        "chunks_across": across, "chunks_down": down,
+        "offsets": [int(o) for o in offsets],
+        "counts": [int(c) for c in counts],
+        "lon0": float(lon0), "lat0": float(lat0),
+        "px_lon": float(sx), "px_lat": float(sy),
+        "nodata": nodata,
+    }
+
+
+def tiff_decode_chunk(meta: dict, idx: int, raw: bytes) -> np.ndarray:
+    """Decode one strip/tile payload to a 2-D array (rows trimmed to the
+    image for the last strip; tiles keep full padded shape — the reader
+    trims via the tile's pixel window). ``raw`` is the chunk's byte range."""
+    cw, ch = meta["chunk_width"], meta["chunk_height"]
+    if meta["layout"] == "strip":
+        row0 = idx * ch
+        ch = min(ch, meta["height"] - row0)
+        if ch <= 0:
+            raise ValueError("tiff: strip index beyond image")
+    if meta["compression"] == 8:
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"tiff: bad deflate stream: {e}") from None
+    dt = np.dtype(meta["dtype"]).newbyteorder(meta["byteorder"])
+    need = cw * ch * dt.itemsize
+    if len(raw) < need:
+        raise ValueError("tiff: chunk shorter than its pixel window")
+    arr = np.frombuffer(raw[:need], dtype=dt).reshape(ch, cw)
+    if meta["predictor"] == 2:
+        arr = np.cumsum(arr, axis=1, dtype=arr.dtype)
+    return arr
+
+
+def tiff_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Whole-image decode (tests + small rasters): assemble every chunk."""
+    meta = tiff_parse_meta(data)
+    w, h = meta["width"], meta["height"]
+    out = np.zeros((h, w), dtype=np.dtype(meta["dtype"]))
+    cw, ch = meta["chunk_width"], meta["chunk_height"]
+    for idx, (off, cnt) in enumerate(zip(meta["offsets"], meta["counts"])):
+        if off + cnt > len(data):
+            raise ValueError("tiff: chunk byte range beyond EOF")
+        a = tiff_decode_chunk(meta, idx, data[off: off + cnt])
+        ty, tx = divmod(idx, meta["chunks_across"])
+        y0, x0 = ty * ch if meta["layout"] == "tile" else idx * ch, tx * cw
+        ys, xs = min(a.shape[0], h - y0), min(cw, w - x0)
+        out[y0: y0 + ys, x0: x0 + xs] = a[:ys, :xs]
+    return out, meta
+
+
+def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
+                px_lon: float, px_lat: float, compression: int = 8,
+                tile_size: int | None = None, rows_per_strip: int = 64,
+                predictor: int = 1, nodata: float | None = None,
+                byteorder: str = "<") -> bytes:
+    """Minimal GeoTIFF writer (tests + synthetic population rasters):
+    single-band strip or tiled layout, none/deflate, optional horizontal
+    predictor, ModelPixelScale + ModelTiepoint georeferencing.
+
+    ``lon0``/``lat0`` are the OUTER top-left corner; ``px_lat`` is positive
+    (north-up row step downward)."""
+    if arr.ndim != 2:
+        raise ValueError("tiff_encode: need a 2-D array")
+    h, w = arr.shape
+    kind_bits = (arr.dtype.kind, arr.dtype.itemsize * 8)
+    sfmt = {"u": 1, "i": 2, "f": 3}.get(kind_bits[0])
+    if sfmt is None or (sfmt == 3 and kind_bits[1] != 32) or kind_bits[1] not in (8, 16, 32):
+        raise ValueError(f"tiff_encode: unsupported dtype {arr.dtype}")
+    if predictor == 2 and sfmt == 3:
+        raise ValueError("tiff_encode: predictor 2 on float samples")
+    dt = arr.dtype.newbyteorder(byteorder)
+
+    def chunk_bytes(a: np.ndarray) -> bytes:
+        if predictor == 2:
+            a = np.concatenate([a[:, :1], np.diff(a, axis=1)], axis=1).astype(a.dtype)
+        raw = np.ascontiguousarray(a, dtype=dt).tobytes()
+        return zlib.compress(raw, 6) if compression == 8 else raw
+
+    chunks: list[bytes] = []
+    if tile_size:
+        if tile_size % 16:
+            raise ValueError("tiff_encode: tile size must be a multiple of 16")
+        across = (w + tile_size - 1) // tile_size
+        down = (h + tile_size - 1) // tile_size
+        for ty in range(down):
+            for tx in range(across):
+                tile = np.zeros((tile_size, tile_size), dtype=arr.dtype)
+                src = arr[ty * tile_size: (ty + 1) * tile_size,
+                          tx * tile_size: (tx + 1) * tile_size]
+                tile[: src.shape[0], : src.shape[1]] = src
+                chunks.append(chunk_bytes(tile))
+    else:
+        for r0 in range(0, h, rows_per_strip):
+            chunks.append(chunk_bytes(arr[r0: r0 + rows_per_strip]))
+
+    bo = byteorder
+    entries: list[tuple[int, int, int, list]] = []  # (tag, type, count, values)
+
+    def add(tag, ftype, vals):
+        entries.append((tag, ftype, len(vals), list(vals)))
+
+    add(_TAG_WIDTH, 4, [w])
+    add(_TAG_LENGTH, 4, [h])
+    add(_TAG_BITS, 3, [kind_bits[1]])
+    add(_TAG_COMPRESSION, 3, [compression])
+    add(_TAG_PHOTOMETRIC, 3, [1])
+    add(_TAG_SAMPLES_PER_PIXEL, 3, [1])
+    if tile_size:
+        add(_TAG_TILE_WIDTH, 3, [tile_size])
+        add(_TAG_TILE_LENGTH, 3, [tile_size])
+        add(_TAG_TILE_OFFSETS, 4, [0] * len(chunks))   # patched below
+        add(_TAG_TILE_COUNTS, 4, [len(c) for c in chunks])
+    else:
+        add(_TAG_ROWS_PER_STRIP, 3, [rows_per_strip])
+        add(_TAG_STRIP_OFFSETS, 4, [0] * len(chunks))  # patched below
+        add(_TAG_STRIP_COUNTS, 4, [len(c) for c in chunks])
+    if predictor != 1:
+        add(_TAG_PREDICTOR, 3, [predictor])
+    add(_TAG_SAMPLE_FORMAT, 3, [sfmt])
+    add(_TAG_MODEL_PIXEL_SCALE, 12, [px_lon, px_lat, 0.0])
+    add(_TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, lon0, lat0, 0.0])
+    if nodata is not None:
+        nd = (f"{nodata:.10g}").encode() + b"\x00"
+        entries.append((_TAG_GDAL_NODATA, 2, len(nd), [nd]))
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header(8) | IFD | out-of-line values | pixel chunks
+    ifd_size = 2 + 12 * len(entries) + 4
+    pos = 8 + ifd_size
+    value_blobs: list[bytes] = []
+    packed: list[tuple[int, int, int, bytes | None, int]] = []
+    for tag, ftype, count, vals in entries:
+        fmt, size = _TYPES[ftype]
+        if ftype == 2:
+            blob = vals[0]
+        elif ftype in (5, 10):
+            blob = b""  # not emitted by this writer
+        else:
+            blob = struct.pack(bo + fmt * count, *vals)
+        if len(blob) <= 4:
+            packed.append((tag, ftype, count, blob.ljust(4, b"\x00"), -1))
+        else:
+            packed.append((tag, ftype, count, None, pos))
+            value_blobs.append(blob)
+            pos += len(blob)
+    data_start = pos
+    offs, cur = [], data_start
+    for c in chunks:
+        offs.append(cur)
+        cur += len(c)
+    # patch chunk offsets into their value blob (always out-of-line unless 1 chunk)
+    off_tag = _TAG_TILE_OFFSETS if tile_size else _TAG_STRIP_OFFSETS
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, 8)
+    out += struct.pack(bo + "H", len(entries))
+    blob_i = 0
+    for tag, ftype, count, inline, voff in packed:
+        out += struct.pack(bo + "HHI", tag, ftype, count)
+        if inline is not None:
+            if tag == off_tag:  # single chunk, inline offset
+                inline = struct.pack(bo + "I", offs[0])
+            out += inline
+        else:
+            out += struct.pack(bo + "I", voff)
+    out += struct.pack(bo + "I", 0)  # next-IFD pointer
+    for tag, ftype, count, inline, voff in packed:
+        if inline is None:
+            blob = value_blobs[blob_i]
+            blob_i += 1
+            if tag == off_tag:
+                blob = struct.pack(bo + "I" * len(offs), *offs)
+            out += blob
+    for c in chunks:
+        out += c
+    return bytes(out)

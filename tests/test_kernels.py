@@ -888,3 +888,59 @@ def test_jpeg_restart_interval_roundtrip():
     out = jpeg_decode(jpeg_encode(rgb, 85, restart_interval=3))
     assert out.shape == (48, 64, 3)
     assert np.abs(out.astype(float) - rgb).mean() < 2.0
+
+
+def test_geotiff_roundtrip_all_layouts():
+    """From-spec GeoTIFF codec: strip/tile layouts × none/deflate ×
+    predictor × byte orders × dtypes roundtrip exactly, and the
+    georeferencing affine survives."""
+    from geopull_spark.kernels.tiff import tiff_decode, tiff_encode
+
+    rng = np.random.RandomState(5)
+    img_u16 = rng.randint(0, 60000, size=(37, 53)).astype(np.uint16)
+    img_f32 = (rng.rand(37, 53) * 1e4).astype(np.float32)
+    img_u8 = rng.randint(0, 255, size=(37, 53)).astype(np.uint8)
+    img_i32 = rng.randint(-5000, 5000, size=(37, 53)).astype(np.int32)
+    cases = [
+        dict(arr=img_u16, compression=1),
+        dict(arr=img_u16, compression=8),
+        dict(arr=img_u16, compression=8, predictor=2),
+        dict(arr=img_u16, compression=8, tile_size=16),
+        dict(arr=img_f32, compression=8, tile_size=32),
+        dict(arr=img_u8, compression=1, rows_per_strip=7),
+        dict(arr=img_i32, compression=8, byteorder=">"),
+        dict(arr=img_u16, compression=1, byteorder=">", tile_size=16),
+    ]
+    for kw in cases:
+        arr = kw.pop("arr")
+        buf = tiff_encode(arr, lon0=10.0, lat0=48.5, px_lon=0.01, px_lat=0.02, **kw)
+        got, meta = tiff_decode(buf)
+        assert got.dtype == arr.dtype and np.array_equal(got, arr), kw
+        assert (meta["lon0"], meta["lat0"]) == (10.0, 48.5)
+        assert (meta["px_lon"], meta["px_lat"]) == (0.01, 0.02)
+
+
+def test_geotiff_nodata_and_errors():
+    """Nodata surfaces in meta; unsupported shapes and truncation raise a
+    clean ValueError (crawl-robustness contract shared with PNG/WAV/JPEG)."""
+    import pytest
+
+    from geopull_spark.kernels.tiff import tiff_decode, tiff_encode
+
+    arr = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    buf = tiff_encode(arr, 0.0, 1.0, 0.1, 0.1, nodata=7.0)
+    got, meta = tiff_decode(buf)
+    assert meta["nodata"] == 7.0 and np.array_equal(got, arr)
+
+    with pytest.raises(ValueError):
+        tiff_decode(b"XX" + buf[2:])          # bad byte-order mark
+    with pytest.raises(ValueError):
+        tiff_decode(buf[:30])                  # truncated IFD
+    with pytest.raises(ValueError):
+        tiff_decode(buf[:-40])                 # pixel bytes beyond EOF
+    corrupt = bytearray(tiff_encode(arr, 0, 1, 0.1, 0.1, compression=8))
+    corrupt[-10] ^= 0xFF                       # bad deflate stream
+    with pytest.raises(ValueError):
+        tiff_decode(bytes(corrupt))
+    with pytest.raises(ValueError):
+        tiff_encode(arr.astype(np.float64), 0, 1, 0.1, 0.1)  # f8 unsupported

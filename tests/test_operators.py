@@ -772,3 +772,50 @@ def test_zonal_rect_recovers_exact_areas(spark):
         assert abs(r["zonal_sum"] - exact) < 1e-10, r
         areas.add(round(exact, 7))
     assert len(areas) == 16  # uneven grid: a constant answer cannot pass
+
+
+def test_geotiff_distributed_reader_and_zonal(spark, tmp_path):
+    """read_geotiff_cells: executor-side chunk decode + in-kernel partial
+    aggregation must equal a direct whole-image numpy aggregation EXACTLY
+    (integer-valued pixels → float64 sums are order-independent), nodata
+    dropped; the resulting table feeds zonal_aggregate."""
+    import numpy as np
+
+    from geopull_spark.kernels import cells as cellk
+    from geopull_spark.kernels.tiff import tiff_encode
+    from geopull_spark.sources.raster import read_geotiff_cells
+
+    rng = np.random.RandomState(3)
+    h, w = 200, 200
+    arr = rng.randint(1, 500, size=(h, w)).astype(np.uint16)
+    arr[rng.rand(h, w) < 0.05] = 999  # nodata speckle
+    path = str(tmp_path / "pop.tif")
+    with open(path, "wb") as f:
+        f.write(tiff_encode(arr, lon0=0.0, lat0=1.0, px_lon=1.0 / w,
+                            px_lat=1.0 / h, compression=8, tile_size=64,
+                            nodata=999.0))
+
+    res = 14
+    got = {r["cell"]: (r["value"], r["n_px"])
+           for r in read_geotiff_cells(spark, path, res).collect()}
+
+    # numpy ground truth over the whole image
+    lon = (np.arange(w) + 0.5) / w
+    lat = 1.0 - (np.arange(h) + 0.5) / h
+    lon_g = np.broadcast_to(lon[None, :], arr.shape)
+    lat_g = np.broadcast_to(lat[:, None], arr.shape)
+    keep = arr != 999
+    cell = cellk.cell_id(lon_g[keep], lat_g[keep], res).astype(np.int64)
+    uniq, inv = np.unique(cell, return_inverse=True)
+    sums = np.bincount(inv, weights=arr[keep].astype(np.float64))
+    cnts = np.bincount(inv)
+    want = {int(c): (float(s), int(n)) for c, s, n in zip(uniq, sums, cnts)}
+    assert got == want and len(want) > 500
+
+    # the table plugs into the J9 zonal join; zones tile [0,1]^2 so the
+    # zonal total recovers the pixel total up to boundary-cell coverage
+    zones = synth.rect_zones(spark)
+    out = spatial_join.zonal_aggregate(zones, read_geotiff_cells(spark, path, res))
+    tot = sum(r["zonal_sum"] for r in out.collect())
+    full = float(arr[keep].astype(np.float64).sum())
+    assert 0.9 * full <= tot <= full + 1e-6
