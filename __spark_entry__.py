@@ -743,6 +743,49 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-decode value oracle (r5): the media generator derives image dims
+    and sample counts from seed = first 8 little-endian bytes of media_ref
+    (`operators/multimodal.py:materialize_media`). DuckDB recomputes width /
+    height / duration from the ref STRING with exact integer arithmetic
+    (HUGEINT byte fold + the half-even rounding of 1000·n/8000), so the
+    decoded values are checked end-to-end THROUGH the actual from-spec
+    PNG/WAV codecs against an independent engine — if the pixel/PCM decode
+    drifted, this mismatches."""
+    from geopull_spark.operators.multimodal import decode_media, materialize_media
+    from geopull_spark.sources.synth import interleaved_documents
+
+    docs = interleaved_documents(spark, sf_dir)
+    meta = decode_media(materialize_media(docs))
+    return meta.select(
+        "media_ref", "kind", "width", "height", "duration_ms"
+    ).orderBy("media_ref")
+
+
+def _media_dims_oracle() -> str:
+    seed_terms = " + ".join(
+        f"(CASE WHEN length(media_ref) >= {j} THEN CAST(ascii(substr(media_ref,{j},1)) AS HUGEINT) ELSE 0 END) * {256 ** (j - 1)}::HUGEINT"
+        for j in range(1, 9)
+    )
+    return f"""
+        WITH media AS (
+          SELECT media_ref, kind FROM ({_SPANS_SQL_CORE}) WHERE media_ref IS NOT NULL
+        ),
+        seeded AS (SELECT media_ref, kind, {seed_terms} AS seed FROM media)
+        SELECT media_ref, kind,
+               CASE WHEN kind = 'image' THEN CAST(8 + seed % 24 AS INT) END AS width,
+               CASE WHEN kind = 'image' THEN CAST(8 + (seed // 256) % 24 AS INT) END AS height,
+               -- audio: n = 200 + seed % 600 samples at 8 kHz; duration_ms =
+               -- round(1000 n / 8000) with Python's half-even rounding
+               CASE WHEN kind = 'audio' THEN CAST(
+                 (200 + seed % 600) // 8
+                 + CASE WHEN (200 + seed % 600) % 8 > 4 THEN 1
+                        WHEN (200 + seed % 600) % 8 = 4 THEN ((200 + seed % 600) // 8) % 2
+                        ELSE 0 END AS INT) END AS duration_ms
+        FROM seeded ORDER BY media_ref
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocks_build": q_blocks_build,
     "doc_block_assign": q_doc_block_assign,
@@ -779,6 +822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "registry_join": q_registry_join,
     "media_features": q_media_features,
+    "media_dims": q_media_dims,
     "event_window": q_event_window,
     "event_sessions": q_event_sessions,
     "scalar_aggs": q_scalar_aggs,
@@ -950,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "spans_flat": _SPANS_SQL_CORE,
+        "media_dims": _media_dims_oracle(),
         "spans_invariant": f"""
             SELECT doc_id,
                    md5(string_agg(concat(kind, '|', coalesce(span_text, ''), '|',
