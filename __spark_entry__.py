@@ -786,8 +786,50 @@ def _media_dims_oracle() -> str:
     """
 
 
+def q_blocks_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form value oracle for the polygonize→blocker path (r5): region
+    Gi (i = 0..3) is a 1°×1° land rectangle crossed by k = 3+i interior
+    vertical and horizontal streets at the j/(k+1) fractions. Planar-graph
+    face extraction must yield exactly (k+1)² rectangular blocks tiling the
+    square, so per-region block count and summed bbox area are closed-form
+    in SQL — wrong noding, face walking, dangle pruning, overlap removal, or
+    sliver filtering shifts count or area. Uneven k per region keeps the
+    oracle non-vacuous. (sf_dir unused: the world is the fixture, like
+    pip_rect_assign; areas rounded to 1e-6 — snap-grid noding may move
+    coordinates by ≤1e-9 each.)"""
+    from geopull_spark.kernels import wkb as wkbk
+    from geopull_spark.operators.blocker import build_blocks
+
+    land_rows, line_rows = [], []
+    for i in range(4):
+        x0, code, k = 2.0 * i, f"G{i}", 3 + i
+        rect = [(x0, 0.0), (x0 + 1.0, 0.0), (x0 + 1.0, 1.0), (x0, 1.0)]
+        land_rows.append((code, 0, bytearray(wkbk.polygon(rect)),
+                          x0, 0.0, x0 + 1.0, 1.0))
+        for j in range(1, k + 1):
+            t = j / (k + 1)
+            line_rows.append((code, bytearray(wkbk.linestring(
+                [(x0 + t, 0.0), (x0 + t, 1.0)])), x0 + t, 0.0, x0 + t, 1.0))
+            line_rows.append((code, bytearray(wkbk.linestring(
+                [(x0, t), (x0 + 1.0, t)])), x0, t, x0 + 1.0, t))
+    geo_cols = "geometry binary, minx double, miny double, maxx double, maxy double"
+    land = spark.createDataFrame(land_rows, f"region_code string, part_id int, {geo_cols}")
+    lines = spark.createDataFrame(line_rows, f"region_code string, {geo_cols}")
+    blocks = build_blocks(land, lines)
+    return (
+        blocks.groupBy("region_code")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.round(F.sum((F.col("maxx") - F.col("minx"))
+                          * (F.col("maxy") - F.col("miny"))), 6).alias("bbox_area"),
+        )
+        .orderBy("region_code")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocks_build": q_blocks_build,
+    "blocks_grid": q_blocks_grid,
     "doc_block_assign": q_doc_block_assign,
     "knn_blocks": q_knn_blocks,
     "doc_points": q_doc_points,
@@ -995,6 +1037,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spans_flat": _SPANS_SQL_CORE,
         "media_dims": _media_dims_oracle(),
+        "blocks_grid": """
+            SELECT 'G' || CAST(i AS VARCHAR) AS region_code,
+                   CAST((4 + i) * (4 + i) AS BIGINT) AS n_blocks,
+                   CAST(1.0 AS DOUBLE) AS bbox_area
+            FROM range(0, 4) t(i) ORDER BY region_code
+        """,
         "spans_invariant": f"""
             SELECT doc_id,
                    md5(string_agg(concat(kind, '|', coalesce(span_text, ''), '|',
