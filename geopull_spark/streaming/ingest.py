@@ -153,6 +153,105 @@ def dedup_doc_stream(docs: DataFrame, text_col: str = "text",
     return first.select("p.*").select(*cols)
 
 
+def minhash_neardup_stream(doc_stream: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n_bands: int = 8,
+                           bucket_cap: int = 128,
+                           state_ttl: str | None = None) -> DataFrame:
+    """Streaming near-dup candidates: each arriving document pairs with every
+    PREVIOUSLY seen document sharing a MinHash band bucket — the incremental
+    form of ``operators/dedup.py:minhash_lsh_pairs``. This is the engine's
+    custom-stateful-operator surface (north_star: ``applyInPandasWithState``
+    for operators Spark's built-ins can't express — a stream-stream
+    self-join would buffer BOTH sides and re-derive signatures twice).
+
+    Mechanics: band signatures come from the same Arrow-batched rolling-hash
+    kernel as the batch path (one evaluation per doc), exploded to one row
+    per (band, mh) and grouped by that key; the GroupState per bucket holds
+    the member ids seen so far, capped at ``bucket_cap``. A new member pairs
+    all-pairs against the stored members while the bucket is below the cap,
+    and only against the bucket's first-seen member (the streaming star hub)
+    above it — per-arrival output and per-bucket state are both bounded by
+    ``bucket_cap`` regardless of skew, the same crawl-shape guarantee as the
+    batch window/star path. Within a micro-batch, members are processed in
+    id order so output is deterministic.
+
+    Equivalence: over any stream prefix whose buckets stay ≤ ``bucket_cap``,
+    the emitted (min, max) pair SET equals the batch ``minhash_lsh_pairs``
+    on the same documents (pinned by ``test_minhash_neardup_stream``; pairs
+    can repeat across bands/batches — batch `.distinct()` semantics are the
+    consumer's per-sink dedup). Above the cap the star hub is the bucket's
+    FIRST-SEEN member rather than the batch path's global min id — connected
+    components are identical either way (the hub spans the bucket).
+
+    State sizing: one (band, mh) entry per distinct bucket holding ≤ cap ids
+    + a count; ``state_ttl`` (e.g. ``"24 hours"``) enables processing-time
+    eviction for unbounded crawls."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import minhash_signature
+
+    sig = minhash_signature(doc_stream, text_col, n_bands, id_col)
+    stacked = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("mh"))
+            for b in range(n_bands)
+        ])).alias("s"),
+    ).select(id_col, F.col("s.band").alias("band"), F.col("s.mh").alias("mh"))
+
+    out_schema = T.StructType([
+        T.StructField("doc_a", T.StringType()),
+        T.StructField("doc_b", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ids", T.ArrayType(T.StringType())),
+        T.StructField("n", T.LongType()),
+    ])
+    ttl_ms = None
+    if state_ttl is not None:
+        import re as _re
+
+        m = _re.match(r"(\d+)\s*(hour|minute|second)s?", state_ttl)
+        if not m:
+            raise ValueError(f"state_ttl: cannot parse {state_ttl!r}")
+        ttl_ms = int(m.group(1)) * {"hour": 3600_000, "minute": 60_000,
+                                    "second": 1000}[m.group(2)]
+
+    def pair_bucket(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band = int(key[0])
+        ids, n = (state.get if state.exists else ([], 0))
+        ids = list(ids)
+        out_a, out_b = [], []
+        for pdf in pdf_iter:
+            for doc in sorted(pdf[id_col].astype(str)):
+                if n < bucket_cap:
+                    for other in ids:
+                        out_a.append(min(doc, other))
+                        out_b.append(max(doc, other))
+                    ids.append(doc)
+                elif ids:
+                    out_a.append(min(doc, ids[0]))
+                    out_b.append(max(doc, ids[0]))
+                n += 1
+        state.update((ids, n))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                                "band": band})
+
+    return stacked.groupBy("band", "mh").applyInPandasWithState(
+        pair_bucket, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
 def event_sessions(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Gap-based sessionization per user (SURVEY §2.9 stateful-operator

@@ -192,3 +192,65 @@ def test_dedup_doc_stream_cross_batch(spark, tmp_path):
     assert {r["doc_id"] for r in b} == {"a", "b", "d"}
     assert {r["text"] for r in b} == {"the quick brown fox", "lorem ipsum dolor",
                                       "entirely new content"}
+
+
+def test_minhash_neardup_stream(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): near-dup candidate
+    pairs across micro-batches. A near-dup arriving in a LATER batch must
+    pair with its earlier twin (cross-batch bucket state), and the full
+    emitted pair set must equal the batch minhash_lsh_pairs on the union."""
+    from geopull_spark.operators.dedup import minhash_lsh_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    near = base.replace("tonight", "at dawn")
+    other = ("completely unrelated content about distributed query "
+             "engines shuffling partitioned columnar batches around")
+    b1 = [("a", base), ("x", other)]
+    b2 = [("b", near), ("c", base), ("y", other + " all day")]
+    cols = ["doc_id", "text"]
+    in_dir = str(tmp_path / "nd_in")
+    spark.createDataFrame(b1, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(b2, cols).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (ingest.minhash_neardup_stream(stream)
+         .writeStream.format("memory").queryName("nd_pairs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {(r["doc_a"], r["doc_b"])
+           for r in spark.sql("SELECT doc_a, doc_b FROM nd_pairs").collect()}
+
+    union = spark.createDataFrame(b1 + b2, cols)
+    want = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(union).collect()}
+    assert got == want
+    assert ("a", "b") in got or ("a", "c") in got  # cross-batch pair exists
+    assert ("a", "c") in got and ("a", "b") in got and ("b", "c") in got
+
+
+def test_minhash_neardup_stream_bucket_cap(spark, tmp_path):
+    """Above bucket_cap the stream emits star pairs against the bucket's
+    first-seen member — per-arrival output and state stay bounded, and
+    connected components still span the bucket."""
+    txt = "identical boilerplate template page footer content here"
+    rows = [(f"d{i}", txt) for i in range(6)]
+    in_dir = str(tmp_path / "cap_in")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (ingest.minhash_neardup_stream(stream, bucket_cap=2)
+         .writeStream.format("memory").queryName("cap_pairs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {(r["doc_a"], r["doc_b"])
+           for r in spark.sql("SELECT doc_a, doc_b FROM cap_pairs").collect()}
+    # star around first-seen d0: all-pairs among {d0,d1} then hub pairs only
+    assert got == {("d0", f"d{i}") for i in range(1, 6)}
