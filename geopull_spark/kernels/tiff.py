@@ -69,6 +69,104 @@ _TYPES = {
 }
 
 
+def lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, ClearCode 256 /
+    EOI 257, code width 9→12 with the TIFF "early change" (width bumps when
+    the NEXT table entry to be added is 2^width − 1). ``max_out`` bounds the
+    output so a corrupt stream cannot balloon memory (clean ValueError)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bitbuf = bitcnt = 0
+    width = 9
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while True:
+        while bitcnt < width:
+            if pos >= n:
+                # streams may omit EOI right at the byte boundary
+                if prev is None or bitbuf & ((1 << bitcnt) - 1) == 0 or bitcnt < 8:
+                    return bytes(out)
+                raise ValueError("tiff: LZW stream truncated mid-code")
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == 256:  # Clear
+            table = table[:258]
+            width, prev = 9, None
+            continue
+        if code == 257:  # EOI
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                raise ValueError("tiff: LZW first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("tiff: LZW code beyond table")
+        out += entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("tiff: LZW output exceeds expected chunk size")
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # early change: bump width when the NEXT entry would be 2^width − 1
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW writer (tests + synthetic rasters): emits Clear up
+    front and on table overflow at 4094 entries, early-change widths,
+    MSB-first packing — symmetric with :func:`lzw_decode`."""
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for i in range(len(data)):
+        c = data[i: i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        if next_code <= 4093:  # spec reserves 4094/4095
+            table[w + c] = next_code
+            next_code += 1
+            # encoder bumps one entry later than the decoder's early-change
+            # check: the decoder's table lags one entry behind (it can only
+            # build entry k after reading the k-th code), so both sides
+            # cross 2^width at the same emitted code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:  # table full → Clear and restart the dictionary
+            emit(256, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
 def _read_ifd_entries(data: bytes, bo: str, ifd_off: int) -> dict[int, list]:
     if ifd_off + 2 > len(data):
         raise ValueError("tiff: IFD offset beyond EOF")
@@ -138,8 +236,8 @@ def tiff_parse_meta(data: bytes) -> dict:
     if int(one(_TAG_PLANAR, 1)) != 1:
         raise ValueError("tiff: planar configuration 2 not supported")
     comp = int(one(_TAG_COMPRESSION, 1))
-    if comp not in (1, 8):
-        raise ValueError(f"tiff: compression {comp} not supported (none/deflate only)")
+    if comp not in (1, 5, 8):
+        raise ValueError(f"tiff: compression {comp} not supported (none/LZW/deflate only)")
     pred = int(one(_TAG_PREDICTOR, 1))
     if pred not in (1, 2):
         raise ValueError(f"tiff: predictor {pred} not supported")
@@ -221,13 +319,15 @@ def tiff_decode_chunk(meta: dict, idx: int, raw: bytes) -> np.ndarray:
         ch = min(ch, meta["height"] - row0)
         if ch <= 0:
             raise ValueError("tiff: strip index beyond image")
+    dt = np.dtype(meta["dtype"]).newbyteorder(meta["byteorder"])
+    need = cw * ch * dt.itemsize
     if meta["compression"] == 8:
         try:
             raw = zlib.decompress(raw)
         except zlib.error as e:
             raise ValueError(f"tiff: bad deflate stream: {e}") from None
-    dt = np.dtype(meta["dtype"]).newbyteorder(meta["byteorder"])
-    need = cw * ch * dt.itemsize
+    elif meta["compression"] == 5:
+        raw = lzw_decode(raw, max_out=need)
     if len(raw) < need:
         raise ValueError("tiff: chunk shorter than its pixel window")
     arr = np.frombuffer(raw[:need], dtype=dt).reshape(ch, cw)
@@ -273,13 +373,19 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
         raise ValueError(f"tiff_encode: unsupported dtype {arr.dtype}")
     if predictor == 2 and sfmt == 3:
         raise ValueError("tiff_encode: predictor 2 on float samples")
+    if compression not in (1, 5, 8):
+        raise ValueError(f"tiff_encode: compression {compression} not supported")
     dt = arr.dtype.newbyteorder(byteorder)
 
     def chunk_bytes(a: np.ndarray) -> bytes:
         if predictor == 2:
             a = np.concatenate([a[:, :1], np.diff(a, axis=1)], axis=1).astype(a.dtype)
         raw = np.ascontiguousarray(a, dtype=dt).tobytes()
-        return zlib.compress(raw, 6) if compression == 8 else raw
+        if compression == 8:
+            return zlib.compress(raw, 6)
+        if compression == 5:
+            return lzw_encode(raw)
+        return raw
 
     chunks: list[bytes] = []
     if tile_size:

@@ -944,3 +944,44 @@ def test_geotiff_nodata_and_errors():
         tiff_decode(bytes(corrupt))
     with pytest.raises(ValueError):
         tiff_encode(arr.astype(np.float64), 0, 1, 0.1, 0.1)  # f8 unsupported
+
+
+def test_tiff_lzw_codec():
+    """From-spec TIFF LZW (MSB-first, early change, Clear/EOI): a
+    hand-derived spec golden, roundtrips across width growth (9→12 bits)
+    and table resets, and clean errors on corrupt streams."""
+    from geopull_spark.kernels.tiff import lzw_decode, lzw_encode
+
+    # hand-computed golden for b'\x00\x00\x00':
+    # codes 256, 0, 258, 257 at 9 bits → 0x80 0x00 0x20 0x50 0x10
+    assert lzw_encode(b"\x00\x00\x00") == bytes([0x80, 0x00, 0x20, 0x50, 0x10])
+    assert lzw_decode(bytes([0x80, 0x00, 0x20, 0x50, 0x10])) == b"\x00\x00\x00"
+
+    rng = np.random.RandomState(9)
+    cases = [b"", b"a", b"ab" * 5, bytes(range(256)),
+             bytes(rng.randint(0, 256, 3000).tolist()),      # 9→10→11 bit widths
+             bytes(rng.randint(0, 256, 40000).tolist()),     # forces table reset
+             bytes(rng.randint(0, 4, 20000).tolist()),       # long matches
+             b"\x00" * 10000]                                 # degenerate runs
+    for d in cases:
+        assert lzw_decode(lzw_encode(d)) == d, len(d)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        lzw_decode(lzw_encode(b"hello world")[:-3] + b"\xff\xff\xff\xff")
+    with pytest.raises(ValueError):
+        lzw_decode(lzw_encode(b"x" * 100), max_out=10)
+
+
+def test_geotiff_lzw_roundtrip():
+    from geopull_spark.kernels.tiff import tiff_decode, tiff_encode
+
+    rng = np.random.RandomState(6)
+    arr = rng.randint(0, 4000, size=(45, 61)).astype(np.uint16)
+    for kw in [dict(compression=5), dict(compression=5, predictor=2),
+               dict(compression=5, tile_size=16, byteorder=">")]:
+        buf = tiff_encode(arr, 5.0, 50.0, 0.01, 0.01, **kw)
+        got, meta = tiff_decode(buf)
+        assert np.array_equal(got, arr), kw
+        assert meta["compression"] == 5
