@@ -167,6 +167,60 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(data: bytes, max_out: int | None = None) -> bytes:
+    """TIFF PackBits (TIFF 6.0 §9): n in 0..127 → copy n+1 literals;
+    n in -127..-1 → repeat next byte 1−n times; −128 → no-op."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n:
+        h = data[pos]
+        pos += 1
+        if h < 128:  # literal run of h+1
+            if pos + h + 1 > n:
+                raise ValueError("tiff: PackBits literal run beyond EOF")
+            out += data[pos: pos + h + 1]
+            pos += h + 1
+        elif h > 128:  # replicate next byte 257-h times
+            if pos >= n:
+                raise ValueError("tiff: PackBits replicate run beyond EOF")
+            out += data[pos: pos + 1] * (257 - h)
+            pos += 1
+        # h == 128: no-op
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("tiff: PackBits output exceeds expected chunk size")
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits writer: greedy runs ≥3 become replicates, the rest
+    literal runs ≤128 (the spec's recommended packing)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            while lit_start < i:  # flush pending literals
+                take = min(128, i - lit_start)
+                out.append(take - 1)
+                out += data[lit_start: lit_start + take]
+                lit_start += take
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < i:
+        take = min(128, i - lit_start)
+        out.append(take - 1)
+        out += data[lit_start: lit_start + take]
+        lit_start += take
+    return bytes(out)
+
+
 def _read_ifd_entries(data: bytes, bo: str, ifd_off: int) -> dict[int, list]:
     if ifd_off + 2 > len(data):
         raise ValueError("tiff: IFD offset beyond EOF")
@@ -236,8 +290,9 @@ def tiff_parse_meta(data: bytes) -> dict:
     if int(one(_TAG_PLANAR, 1)) != 1:
         raise ValueError("tiff: planar configuration 2 not supported")
     comp = int(one(_TAG_COMPRESSION, 1))
-    if comp not in (1, 5, 8):
-        raise ValueError(f"tiff: compression {comp} not supported (none/LZW/deflate only)")
+    if comp not in (1, 5, 8, 32773):
+        raise ValueError(
+            f"tiff: compression {comp} not supported (none/LZW/deflate/PackBits only)")
     pred = int(one(_TAG_PREDICTOR, 1))
     if pred not in (1, 2):
         raise ValueError(f"tiff: predictor {pred} not supported")
@@ -328,6 +383,8 @@ def tiff_decode_chunk(meta: dict, idx: int, raw: bytes) -> np.ndarray:
             raise ValueError(f"tiff: bad deflate stream: {e}") from None
     elif meta["compression"] == 5:
         raw = lzw_decode(raw, max_out=need)
+    elif meta["compression"] == 32773:
+        raw = packbits_decode(raw, max_out=need)
     if len(raw) < need:
         raise ValueError("tiff: chunk shorter than its pixel window")
     arr = np.frombuffer(raw[:need], dtype=dt).reshape(ch, cw)
@@ -373,7 +430,7 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
         raise ValueError(f"tiff_encode: unsupported dtype {arr.dtype}")
     if predictor == 2 and sfmt == 3:
         raise ValueError("tiff_encode: predictor 2 on float samples")
-    if compression not in (1, 5, 8):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"tiff_encode: compression {compression} not supported")
     dt = arr.dtype.newbyteorder(byteorder)
 
@@ -385,6 +442,8 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
             return zlib.compress(raw, 6)
         if compression == 5:
             return lzw_encode(raw)
+        if compression == 32773:
+            return packbits_encode(raw)
         return raw
 
     chunks: list[bytes] = []

@@ -985,3 +985,32 @@ def test_geotiff_lzw_roundtrip():
         got, meta = tiff_decode(buf)
         assert np.array_equal(got, arr), kw
         assert meta["compression"] == 5
+
+
+def test_tiff_packbits_codec():
+    """PackBits (TIFF 6.0 §9): spec example roundtrips, runs/literals/128s."""
+    from geopull_spark.kernels.tiff import (packbits_decode, packbits_encode,
+                                            tiff_decode, tiff_encode)
+
+    # the spec's worked example (§9): unpacked → packed
+    unpacked = bytes([0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA,
+                      0xAA, 0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA,
+                      0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA])
+    packed = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03,
+                    0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    assert packbits_encode(unpacked) == packed
+    assert packbits_decode(packed) == unpacked
+
+    rng = np.random.RandomState(4)
+    for d in [b"", b"a", b"ab" * 200, b"\x00" * 1000,
+              bytes(rng.randint(0, 3, 5000).tolist()),
+              bytes(rng.randint(0, 256, 5000).tolist())]:
+        assert packbits_decode(packbits_encode(d)) == d
+
+    import pytest
+    with pytest.raises(ValueError):
+        packbits_decode(bytes([0x05, 0x01]))  # literal run beyond EOF
+
+    arr = rng.randint(0, 250, size=(33, 47)).astype(np.uint8)
+    got, meta = tiff_decode(tiff_encode(arr, 0.0, 1.0, 0.1, 0.1, compression=32773))
+    assert np.array_equal(got, arr) and meta["compression"] == 32773
