@@ -704,6 +704,27 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "rk", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the adaptive probe-multiplicity knob (round 5):
+    n_probe=1 but min_candidates=150, so each query's probe depth extends
+    until its probed inverted lists hold >=150 vectors (~3 of 8 lists here,
+    varying per query with the actual list sizes). The oracle mirrors the
+    prefix rule exactly: element r is probed iff r<=n_probe OR the
+    cumulative list size BEFORE it is still short of the target."""
+    from geopull_spark.operators.similarity import ivf_cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = e.select("embedding").head()
+    dim = len(row[0]) if row else 64
+    queries_df = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivf_cosine_topk(
+        e.filter(F.col("vec_id") >= 3), queries_df, dim=dim, k=5,
+        n_probe=1, min_candidates=150, centroids=_ivf_fixed_centroids(dim),
+    ).select("q_id", "vec_id", "rk", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_registry_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 on the engine's own dimension table: doc counts per region enriched
     with the region registry (broadcast; reference COUNTRYMAP analog,
@@ -872,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_adaptive": q_ann_ivf_adaptive,
 }
 
 
@@ -1000,10 +1022,66 @@ def _ann_ivf_oracle(dim: int = 64, n_centroids: int = 8, n_probe: int = 4) -> st
     """
 
 
+def _ann_ivf_adaptive_oracle(dim: int = 64, n_centroids: int = 8,
+                             n_probe: int = 1, min_candidates: int = 150) -> str:
+    """Value oracle for q_ann_ivf_adaptive: DuckDB recomputes the per-query
+    adaptive probe depth — centroids ranked by dot desc/cid desc, inverted-
+    list sizes window-summed over the ranking, element kept iff r<=n_probe
+    OR its preceding cumulative size < min_candidates (exactly the Spark
+    F.aggregate prefix rule in similarity.py:ivf_cosine_topk)."""
+    from geopull_spark.operators.similarity import _unit
+
+    cents = [_unit(c) for c in _ivf_fixed_centroids(dim, n_centroids)]
+    rows = ",\n            ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(cents)
+    )
+    adot = _DOT_SQL.format(a="b.embedding", b="c.cv")
+    qdot = _DOT_SQL.format(a="q.embedding", b="c.cv")
+    rdot = _DOT_SQL.format(a="b.embedding", b="q.embedding")
+    return f"""
+        WITH cents(cid, cv) AS (VALUES
+            {rows}),
+        b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+        q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 3),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT b.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {adot} DESC, c.cid ASC) AS r
+            FROM b, cents c) WHERE r = 1),
+        sizes AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
+        ranked_c AS (
+          SELECT q.q_id, c.cid, COALESCE(s.n, 0) AS n,
+                 row_number() OVER (PARTITION BY q.q_id
+                                    ORDER BY {qdot} DESC, c.cid DESC) AS r
+          FROM q, cents c LEFT JOIN sizes s ON s.cid = c.cid),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT q_id, cid, r,
+                   COALESCE(SUM(n) OVER (PARTITION BY q_id ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM ranked_c)
+          WHERE r <= {n_probe} OR cum_before < {min_candidates}),
+        sims AS (
+          SELECT p.q_id, a.vec_id,
+                 {rdot} / ({_NORM_SQL.format(v='b.embedding')} * {_NORM_SQL.format(v='q.embedding')}) AS sim
+          FROM probes p
+          JOIN assign a USING (cid)
+          JOIN b ON b.vec_id = a.vec_id
+          JOIN q ON q.q_id = p.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+          FROM sims)
+        SELECT q_id, vec_id, rk, round(sim, 4) AS cos_sim FROM ranked WHERE rk <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh": _brute_topk_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        "ann_ivf_adaptive": _ann_ivf_adaptive_oracle(),
         "embedding_neardup_lsh": """
             WITH v AS (SELECT vec_id, embedding FROM embeddings),
             pairs AS (

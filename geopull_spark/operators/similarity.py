@@ -221,12 +221,22 @@ def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                     n_centroids: int = 32, n_probe: int = 8, n_iters: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "q_id",
-                    centroids: list[list[float]] | None = None) -> DataFrame:
+                    centroids: list[list[float]] | None = None,
+                    min_candidates: int | None = None) -> DataFrame:
     """IVF-lite ANN (r1 backlog): coarse-quantize vectors to their nearest
     centroid (inverted lists = an int partition key), probe each query's
     ``n_probe`` closest lists via an equi-join, refine exact cosine, top-k
     window. Same plan shape as the cell-key spatial join — candidates are
-    sharded by centroid id, never all-pairs."""
+    sharded by centroid id, never all-pairs.
+
+    ``min_candidates`` (round 5, adaptive probe multiplicity): a fixed
+    ``n_probe`` under skewed list sizes can leave a query with fewer than k
+    candidates (its nearest lists are sparse). When set, each query's probe
+    depth extends past ``n_probe`` until the cumulative inverted-list size
+    reaches the target — computed in whole-stage codegen from a per-centroid
+    size table (one map-side-combined agg to ``n_centroids`` rows, trivially
+    collectable at any corpus scale). No second join pass; no per-row
+    Python."""
     if centroids is None:
         centroids = ivf_fit_centroids(emb, dim, n_centroids, n_iters, vec_col)
     lists = emb.select(
@@ -239,11 +249,29 @@ def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                  F.lit(i).alias("cid"))
         for i, c in enumerate(centroids)
     ])
+    ranked = F.reverse(F.array_sort(scored))  # dot desc, cid desc (oracle-mirrored)
+    if min_candidates is None:
+        probe_len = F.lit(n_probe)
+    else:
+        sizes = {r["cid"]: r["n"] for r in
+                 lists.groupBy("cid").agg(F.count("*").alias("n")).collect()}
+        cnt = F.lit([int(sizes.get(i, 0)) for i in range(len(centroids))])
+        # prefix length until the probed lists hold >= min_candidates vectors:
+        # element r is probed iff the cumulative size BEFORE it is still short
+        picked = F.aggregate(
+            ranked,
+            F.struct(F.lit(0).cast("long").alias("cum"), F.lit(0).alias("n")),
+            lambda acc, e: F.when(acc["cum"] >= min_candidates, acc).otherwise(
+                F.struct(
+                    (acc["cum"] + F.element_at(cnt, e["cid"] + 1).cast("long")).alias("cum"),
+                    (acc["n"] + 1).alias("n"),
+                )
+            ),
+        )
+        probe_len = F.greatest(F.lit(n_probe), picked["n"])
     probes = queries.select(
         F.col(qid_col), F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
-        ).alias("p"),
+        F.explode(F.slice(ranked, 1, probe_len)).alias("p"),
     ).select(qid_col, "q_vec", F.col("p.cid").alias("cid"))
     cand = lists.join(probes, "cid").select(id_col, qid_col, vec_col, "q_vec")
     sim = F.try_divide(

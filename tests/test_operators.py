@@ -403,6 +403,37 @@ def test_ivf_recall_vs_brute(spark):
     assert sum(sizes[:8]) < 0.6 * n_total
 
 
+def test_ivf_adaptive_probe_min_candidates(spark):
+    """min_candidates: skewed inverted lists underfill a fixed n_probe=1
+    query; the adaptive prefix extends probing until the probed lists hold
+    >= the target, and a corpus-sized target recovers exact brute-force."""
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    rows = [(0, [0.99, 0.1, 0.0, 0.0]), (1, [0.98, 0.0, 0.1, 0.0])]  # sparse list 0
+    vid = 2
+    for axis in (1, 2, 3):  # 12 vectors per dense list
+        for j in range(12):
+            v = [0.02 * ((j + axis) % 3), 0.0, 0.0, 0.0]
+            v[axis] = 1.0 - 0.01 * j
+            rows.append((vid, v))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])],
+                              "q_id int, embedding array<double>")
+
+    def run(**kw):
+        return similarity.ivf_cosine_topk(
+            e, q, dim=4, k=5, n_centroids=4, n_probe=1, centroids=cents, **kw
+        ).collect()
+
+    assert len(run()) == 2  # fixed probe: only the 2-vector list reached
+    got = run(min_candidates=5)
+    assert len(got) == 5 and {r["vec_id"] for r in got} >= {0, 1}
+    brute = similarity.brute_cosine_topk(e, [1.0, 0.0, 0.0, 0.0], k=5).collect()
+    exact = run(min_candidates=len(rows))  # probe everything → exact top-k
+    assert [r["vec_id"] for r in sorted(exact, key=lambda r: r["rk"])] == \
+           [r["vec_id"] for r in brute]
+
+
 def test_embedding_neardup_lsh_default_and_planted_dups(spark):
     """Default method is LSH (no crossJoin reachable); LSH pairs are a subset
     of exact pairs; identical vectors (cos=1) share every signature band, so
