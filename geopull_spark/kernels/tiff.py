@@ -294,7 +294,7 @@ def tiff_parse_meta(data: bytes) -> dict:
         raise ValueError(
             f"tiff: compression {comp} not supported (none/LZW/deflate/PackBits only)")
     pred = int(one(_TAG_PREDICTOR, 1))
-    if pred not in (1, 2):
+    if pred not in (1, 2, 3):
         raise ValueError(f"tiff: predictor {pred} not supported")
     bits = int(one(_TAG_BITS, 8))
     sfmt = int(one(_TAG_SAMPLE_FORMAT, 1))
@@ -306,7 +306,9 @@ def tiff_parse_meta(data: bytes) -> dict:
     if dtype is None:
         raise ValueError(f"tiff: sample format {sfmt}/{bits}-bit not supported")
     if pred == 2 and dtype == "f4":
-        raise ValueError("tiff: floating-point predictor on float samples not supported")
+        raise ValueError("tiff: predictor 2 on float samples not supported (use 3)")
+    if pred == 3 and dtype != "f4":
+        raise ValueError("tiff: predictor 3 requires float samples")
 
     if _TAG_TILE_OFFSETS in t:
         tw, th = int(one(_TAG_TILE_WIDTH)), int(one(_TAG_TILE_LENGTH))
@@ -387,6 +389,17 @@ def tiff_decode_chunk(meta: dict, idx: int, raw: bytes) -> np.ndarray:
         raw = packbits_decode(raw, max_out=need)
     if len(raw) < need:
         raise ValueError("tiff: chunk shorter than its pixel window")
+    if meta["predictor"] == 3:
+        # TIFF TechNote 3 floating-point predictor: per row, undo byte-wise
+        # differencing, then gather byte planes (plane 0 = MSB — the wire
+        # format is endian-independent; the file byteorder tag only governs
+        # the IFD) back into big-endian floats.
+        bs = dt.itemsize
+        buf = np.frombuffer(raw[:need], dtype=np.uint8).reshape(ch, cw * bs)
+        acc = (np.cumsum(buf, axis=1, dtype=np.uint64) & 0xFF).astype(np.uint8)
+        planes = np.ascontiguousarray(acc.reshape(ch, bs, cw).transpose(0, 2, 1))
+        return planes.reshape(ch, cw * bs).view(
+            np.dtype(meta["dtype"]).newbyteorder(">"))
     arr = np.frombuffer(raw[:need], dtype=dt).reshape(ch, cw)
     if meta["predictor"] == 2:
         arr = np.cumsum(arr, axis=1, dtype=arr.dtype)
@@ -428,8 +441,12 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
     sfmt = {"u": 1, "i": 2, "f": 3}.get(kind_bits[0])
     if sfmt is None or (sfmt == 3 and kind_bits[1] != 32) or kind_bits[1] not in (8, 16, 32):
         raise ValueError(f"tiff_encode: unsupported dtype {arr.dtype}")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"tiff_encode: predictor {predictor} not supported")
     if predictor == 2 and sfmt == 3:
-        raise ValueError("tiff_encode: predictor 2 on float samples")
+        raise ValueError("tiff_encode: predictor 2 on float samples (use 3)")
+    if predictor == 3 and sfmt != 3:
+        raise ValueError("tiff_encode: predictor 3 requires float samples")
     if compression not in (1, 5, 8, 32773):
         raise ValueError(f"tiff_encode: compression {compression} not supported")
     dt = arr.dtype.newbyteorder(byteorder)
@@ -437,7 +454,19 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
     def chunk_bytes(a: np.ndarray) -> bytes:
         if predictor == 2:
             a = np.concatenate([a[:, :1], np.diff(a, axis=1)], axis=1).astype(a.dtype)
-        raw = np.ascontiguousarray(a, dtype=dt).tobytes()
+        if predictor == 3:
+            # TechNote 3: split each row's floats into MSB-first byte planes,
+            # then byte-wise horizontal differencing (u8 wraparound)
+            bs = a.dtype.itemsize
+            be = np.ascontiguousarray(a, dtype=a.dtype.newbyteorder(">"))
+            be = be.view(np.uint8).reshape(a.shape[0], a.shape[1], bs)
+            planes = np.ascontiguousarray(be.transpose(0, 2, 1)).reshape(
+                a.shape[0], a.shape[1] * bs)
+            diff = planes.copy()
+            diff[:, 1:] = planes[:, 1:] - planes[:, :-1]
+            raw = diff.tobytes()
+        else:
+            raw = np.ascontiguousarray(a, dtype=dt).tobytes()
         if compression == 8:
             return zlib.compress(raw, 6)
         if compression == 5:

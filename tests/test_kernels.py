@@ -1014,3 +1014,37 @@ def test_tiff_packbits_codec():
     arr = rng.randint(0, 250, size=(33, 47)).astype(np.uint8)
     got, meta = tiff_decode(tiff_encode(arr, 0.0, 1.0, 0.1, 0.1, compression=32773))
     assert np.array_equal(got, arr) and meta["compression"] == 32773
+
+
+def test_tiff_float_predictor3():
+    """Predictor 3 (TIFF TechNote 3): hand-computed golden pins the wire
+    layout (MSB-first byte planes, byte-wise diff), roundtrips across
+    compressions/byteorders/layouts, int samples rejected."""
+    import pytest
+    from geopull_spark.kernels.tiff import tiff_decode, tiff_encode, tiff_parse_meta
+
+    # golden: row [1.0, 2.0] f32 → BE bytes 3F800000 40000000 → planes
+    # 3F 40 | 80 00 | 00 00 | 00 00 → diffed 3F 01 40 80 00 00 00 00
+    one_row = np.array([[1.0, 2.0]], dtype=np.float32)
+    buf = tiff_encode(one_row, 0.0, 1.0, 0.1, 0.1, compression=1, predictor=3,
+                      rows_per_strip=1)
+    meta = tiff_parse_meta(buf)
+    off, cnt = meta["offsets"][0], meta["counts"][0]
+    assert buf[off: off + cnt] == bytes([0x3F, 0x01, 0x40, 0x80, 0, 0, 0, 0])
+    got, _ = tiff_decode(buf)
+    assert np.array_equal(got, one_row)
+
+    rng = np.random.RandomState(11)
+    arr = (rng.randn(37, 53) * 100).astype(np.float32)
+    for kw in [dict(compression=1), dict(compression=8), dict(compression=5),
+               dict(compression=32773), dict(compression=8, byteorder=">"),
+               dict(compression=8, tile_size=16)]:
+        got, meta = tiff_decode(tiff_encode(arr, 0.0, 1.0, 0.1, 0.1,
+                                            predictor=3, **kw))
+        assert np.array_equal(got, arr), kw
+        assert meta["predictor"] == 3
+
+    with pytest.raises(ValueError):  # predictor 3 on ints
+        tiff_encode(np.zeros((4, 4), np.uint8), 0, 1, 0.1, 0.1, predictor=3)
+    with pytest.raises(ValueError):  # predictor 2 on floats
+        tiff_encode(arr, 0, 1, 0.1, 0.1, predictor=2)
