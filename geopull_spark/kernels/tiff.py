@@ -8,18 +8,22 @@ ModelTiepointTag 33922) — no external imaging library, same ground rules as
 ``kernels/jpeg.py`` / ``kernels/png.py``.
 
 Decode support (the north-up population-raster shape):
-  - both byte orders (II little / MM big), classic 32-bit TIFF
+  - both byte orders (II little / MM big), classic 32-bit TIFF AND BigTIFF
+    (magic 43, u64 offsets/counts, LONG8/SLONG8/IFD8 field types) — classic
+    TIFF caps chunk offsets at 4 GiB, so the >4 GiB rasters the distributed
+    reader is built for require BigTIFF
   - strip-based and tiled layouts, PlanarConfiguration 1, 1 sample/pixel
-  - Compression 1 (none) and 8 (zlib/Adobe deflate), Predictor 1 and 2
-    (horizontal differencing)
+  - Compression 1 (none), 5 (LZW, §13), 8 (zlib/Adobe deflate) and
+    32773 (PackBits, §9); Predictor 1, 2 (horizontal differencing) and
+    3 (floating-point byte-plane differencing, TechNote 3)
   - BitsPerSample 8/16/32, SampleFormat 1 (uint) / 2 (int) / 3 (IEEE float)
   - georeferencing from ModelPixelScale + ModelTiepoint (no rotation — the
     ModelTransformationTag 34264 affine-with-rotation form raises)
   - GDAL_NODATA (tag 42113) surfaced as ``meta["nodata"]``
 
-Anything else (LZW/PackBits/JPEG-in-TIFF, palette, planar=2, BigTIFF,
-multi-sample) raises a clean ValueError — crawl-robustness contract shared
-with the other codecs (decode_media's ``on_error="skip"`` quarantines it).
+Anything else (JPEG-in-TIFF, palette, planar=2, multi-sample) raises a
+clean ValueError — crawl-robustness contract shared with the other codecs
+(decode_media's ``on_error="skip"`` quarantines it).
 
 The header/IFD parse is split from pixel decode on purpose: a Spark reader
 parses the few-KB IFD once on the driver and ships per-strip/tile byte
@@ -66,6 +70,7 @@ _TYPES = {
     5: ("II", 8),  # RATIONAL (2×LONG)
     6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
     11: ("f", 4), 12: ("d", 8),
+    16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8),  # BigTIFF LONG8/SLONG8/IFD8
 }
 
 
@@ -221,24 +226,30 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _read_ifd_entries(data: bytes, bo: str, ifd_off: int) -> dict[int, list]:
-    if ifd_off + 2 > len(data):
+def _read_ifd_entries(data: bytes, bo: str, ifd_off: int,
+                      big: bool = False) -> dict[int, list]:
+    # classic: u16 count, 12-byte entries (count u32 @4, value u32 @8);
+    # BigTIFF: u64 count, 20-byte entries (count u64 @4, value u64 @12)
+    cnt_fmt, cnt_sz, ent_sz = ("Q", 8, 20) if big else ("H", 2, 12)
+    val_at, inline_max, off_fmt = (12, 8, "Q") if big else (8, 4, "I")
+    if ifd_off + cnt_sz > len(data):
         raise ValueError("tiff: IFD offset beyond EOF")
-    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    (n_entries,) = struct.unpack_from(bo + cnt_fmt, data, ifd_off)
     tags: dict[int, list] = {}
     for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
-        if off + 12 > len(data):
+        off = ifd_off + cnt_sz + ent_sz * i
+        if off + ent_sz > len(data):
             raise ValueError("tiff: truncated IFD")
-        tag, ftype, count = struct.unpack_from(bo + "HHI", data, off)
+        tag, ftype = struct.unpack_from(bo + "HH", data, off)
+        (count,) = struct.unpack_from(bo + ("Q" if big else "I"), data, off + 4)
         if ftype not in _TYPES:
             continue  # unknown field type: skip per TIFF 6.0 reader guidance
         fmt, size = _TYPES[ftype]
         total = size * count
-        if total <= 4:
-            voff = off + 8
+        if total <= inline_max:
+            voff = off + val_at
         else:
-            (voff,) = struct.unpack_from(bo + "I", data, off + 8)
+            (voff,) = struct.unpack_from(bo + off_fmt, data, off + val_at)
         if voff + total > len(data):
             raise ValueError(f"tiff: tag {tag} value beyond EOF")
         if ftype == 2:  # ASCII
@@ -267,12 +278,20 @@ def tiff_parse_meta(data: bytes) -> dict:
         bo = ">"
     else:
         raise ValueError("tiff: bad byte-order mark")
-    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
-    if magic == 43:
-        raise ValueError("tiff: BigTIFF not supported")
-    if magic != 42:
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    elif magic == 43:  # BigTIFF: u16 offset-size(8), u16 zero, u64 IFD offset
+        if len(data) < 16:
+            raise ValueError("tiff: BigTIFF shorter than header")
+        osz, zero, ifd_off = struct.unpack_from(bo + "HHQ", data, 4)
+        if osz != 8 or zero != 0:
+            raise ValueError("tiff: bad BigTIFF header")
+        big = True
+    else:
         raise ValueError("tiff: bad magic")
-    t = _read_ifd_entries(data, bo, ifd_off)
+    t = _read_ifd_entries(data, bo, ifd_off, big)
 
     def one(tag: int, default=None):
         v = t.get(tag)
@@ -356,6 +375,7 @@ def tiff_parse_meta(data: bytes) -> dict:
     return {
         "width": width, "height": height, "dtype": dtype, "byteorder": bo,
         "compression": comp, "predictor": pred, "layout": layout,
+        "bigtiff": big,
         "chunk_width": cw, "chunk_height": ch,
         "chunks_across": across, "chunks_down": down,
         "offsets": [int(o) for o in offsets],
@@ -427,7 +447,7 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
                 px_lon: float, px_lat: float, compression: int = 8,
                 tile_size: int | None = None, rows_per_strip: int = 64,
                 predictor: int = 1, nodata: float | None = None,
-                byteorder: str = "<") -> bytes:
+                byteorder: str = "<", bigtiff: bool = False) -> bytes:
     """Minimal GeoTIFF writer (tests + synthetic population rasters):
     single-band strip or tiled layout, none/deflate, optional horizontal
     predictor, ModelPixelScale + ModelTiepoint georeferencing.
@@ -498,6 +518,7 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
     def add(tag, ftype, vals):
         entries.append((tag, ftype, len(vals), list(vals)))
 
+    off_ftype = 16 if bigtiff else 4  # LONG8 offsets: the point of BigTIFF
     add(_TAG_WIDTH, 4, [w])
     add(_TAG_LENGTH, 4, [h])
     add(_TAG_BITS, 3, [kind_bits[1]])
@@ -507,11 +528,11 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
     if tile_size:
         add(_TAG_TILE_WIDTH, 3, [tile_size])
         add(_TAG_TILE_LENGTH, 3, [tile_size])
-        add(_TAG_TILE_OFFSETS, 4, [0] * len(chunks))   # patched below
+        add(_TAG_TILE_OFFSETS, off_ftype, [0] * len(chunks))   # patched below
         add(_TAG_TILE_COUNTS, 4, [len(c) for c in chunks])
     else:
         add(_TAG_ROWS_PER_STRIP, 3, [rows_per_strip])
-        add(_TAG_STRIP_OFFSETS, 4, [0] * len(chunks))  # patched below
+        add(_TAG_STRIP_OFFSETS, off_ftype, [0] * len(chunks))  # patched below
         add(_TAG_STRIP_COUNTS, 4, [len(c) for c in chunks])
     if predictor != 1:
         add(_TAG_PREDICTOR, 3, [predictor])
@@ -523,9 +544,13 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
         entries.append((_TAG_GDAL_NODATA, 2, len(nd), [nd]))
     entries.sort(key=lambda e: e[0])
 
-    # layout: header(8) | IFD | out-of-line values | pixel chunks
-    ifd_size = 2 + 12 * len(entries) + 4
-    pos = 8 + ifd_size
+    # layout: header(8 | 16) | IFD | out-of-line values | pixel chunks.
+    # BigTIFF (magic 43): u64 IFD offset, u64 entry count, 20-byte entries
+    # with u64 counts and 8-byte inline values, u64 next-IFD pointer.
+    hdr_sz, cnt_sz, ent_sz, ptr_sz = (16, 8, 20, 8) if bigtiff else (8, 2, 12, 4)
+    inline_max, ofmt, cfmt = (8, "Q", "Q") if bigtiff else (4, "I", "I")
+    ifd_size = cnt_sz + ent_sz * len(entries) + ptr_sz
+    pos = hdr_sz + ifd_size
     value_blobs: list[bytes] = []
     packed: list[tuple[int, int, int, bytes | None, int]] = []
     for tag, ftype, count, vals in entries:
@@ -536,8 +561,8 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
             blob = b""  # not emitted by this writer
         else:
             blob = struct.pack(bo + fmt * count, *vals)
-        if len(blob) <= 4:
-            packed.append((tag, ftype, count, blob.ljust(4, b"\x00"), -1))
+        if len(blob) <= inline_max:
+            packed.append((tag, ftype, count, blob.ljust(inline_max, b"\x00"), -1))
         else:
             packed.append((tag, ftype, count, None, pos))
             value_blobs.append(blob)
@@ -549,25 +574,30 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
         cur += len(c)
     # patch chunk offsets into their value blob (always out-of-line unless 1 chunk)
     off_tag = _TAG_TILE_OFFSETS if tile_size else _TAG_STRIP_OFFSETS
+    off_blob_fmt = "Q" if bigtiff else "I"
     out = bytearray()
-    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, 8)
-    out += struct.pack(bo + "H", len(entries))
+    out += b"II" if bo == "<" else b"MM"
+    if bigtiff:
+        out += struct.pack(bo + "HHHQ", 43, 8, 0, 16)
+    else:
+        out += struct.pack(bo + "HI", 42, 8)
+    out += struct.pack(bo + ("Q" if bigtiff else "H"), len(entries))
     blob_i = 0
     for tag, ftype, count, inline, voff in packed:
-        out += struct.pack(bo + "HHI", tag, ftype, count)
+        out += struct.pack(bo + "HH" + cfmt, tag, ftype, count)
         if inline is not None:
             if tag == off_tag:  # single chunk, inline offset
-                inline = struct.pack(bo + "I", offs[0])
+                inline = struct.pack(bo + off_blob_fmt, offs[0]).ljust(inline_max, b"\x00")
             out += inline
         else:
-            out += struct.pack(bo + "I", voff)
-    out += struct.pack(bo + "I", 0)  # next-IFD pointer
+            out += struct.pack(bo + ofmt, voff)
+    out += struct.pack(bo + ofmt, 0)  # next-IFD pointer
     for tag, ftype, count, inline, voff in packed:
         if inline is None:
             blob = value_blobs[blob_i]
             blob_i += 1
             if tag == off_tag:
-                blob = struct.pack(bo + "I" * len(offs), *offs)
+                blob = struct.pack(bo + off_blob_fmt * len(offs), *offs)
             out += blob
     for c in chunks:
         out += c

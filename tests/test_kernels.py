@@ -1048,3 +1048,50 @@ def test_tiff_float_predictor3():
         tiff_encode(np.zeros((4, 4), np.uint8), 0, 1, 0.1, 0.1, predictor=3)
     with pytest.raises(ValueError):  # predictor 2 on floats
         tiff_encode(arr, 0, 1, 0.1, 0.1, predictor=2)
+
+
+def test_bigtiff():
+    """BigTIFF (magic 43): header golden, roundtrips across layouts/endians/
+    compressions, LONG8 chunk offsets survive >4 GiB without truncation."""
+    import struct
+
+    import pytest
+    from geopull_spark.kernels.tiff import tiff_decode, tiff_encode, tiff_parse_meta
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 60000, size=(41, 29)).astype(np.uint16)
+    buf = tiff_encode(arr, 5.0, 45.0, 0.1, 0.1, compression=8, bigtiff=True)
+    # header: II, magic 43, offset-size 8, reserved 0, first IFD at 16
+    assert buf[:16] == b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
+    got, meta = tiff_decode(buf)
+    assert np.array_equal(got, arr) and meta["bigtiff"] is True
+    assert (meta["lon0"], meta["lat0"]) == (5.0, 45.0)
+
+    for kw in [dict(compression=1, rows_per_strip=8), dict(compression=5),
+               dict(compression=32773), dict(byteorder=">", tile_size=16),
+               dict(compression=8, byteorder=">")]:
+        got, meta = tiff_decode(tiff_encode(arr, 5.0, 45.0, 0.1, 0.1,
+                                            bigtiff=True, **kw))
+        assert np.array_equal(got, arr), kw
+        assert meta["bigtiff"] is True
+    fl = (rng.rand(20, 20) * 9).astype(np.float32)
+    got, _ = tiff_decode(tiff_encode(fl, 0, 1, 0.1, 0.1, predictor=3, bigtiff=True))
+    assert np.array_equal(got, fl)
+    # classic files still parse as non-big
+    assert tiff_parse_meta(tiff_encode(arr, 5.0, 45.0, 0.1, 0.1))["bigtiff"] is False
+
+    # the point of BigTIFF: a chunk offset beyond 4 GiB. Take a single-strip
+    # file (offset inline in the IFD), patch it to 5 GiB, and check the
+    # parser returns it unclipped (a u32 reader would wrap to 1 GiB).
+    one = tiff_encode(arr, 5.0, 45.0, 0.1, 0.1, compression=1,
+                      rows_per_strip=64, bigtiff=True)
+    m = tiff_parse_meta(one)
+    assert len(m["offsets"]) == 1
+    old = m["offsets"][0]
+    pos = one.index(struct.pack("<Q", old), 16)
+    big_off = 5 << 30
+    patched = one[:pos] + struct.pack("<Q", big_off) + one[pos + 8:]
+    assert tiff_parse_meta(patched)["offsets"][0] == big_off
+
+    with pytest.raises(ValueError):  # corrupted BigTIFF offset size
+        tiff_parse_meta(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16) + b"\x00" * 16)
