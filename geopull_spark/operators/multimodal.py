@@ -106,8 +106,10 @@ def decode_media(media: DataFrame, fake: bool = False,
 
     Default is the REAL decode path: PNG via the stdlib-zlib numpy codec,
     baseline JPEG via the from-spec T.81 codec (``kernels/jpeg.py``, round
-    4) — width/height + mean decoded luma for both — and WAV PCM16 via the
-    RIFF parser (duration from sample count / rate). Formats with no
+    4) — width/height + mean decoded luma for both — WAV PCM16 via the
+    RIFF parser (duration from sample count / rate), and (Geo)TIFF incl.
+    BigTIFF via ``kernels/tiff.py`` (width/height + nodata/NaN-excluded
+    mean). Formats with no
     implemented decoder (progressive JPEG, MP3, video) raise
     ``NotImplementedError`` — honestly stubbed, PIL/ffmpeg are not in this
     container. ``fake=True`` derives metadata from raw bytes without
@@ -146,6 +148,17 @@ def decode_media(media: DataFrame, fake: bool = False,
             samples, rate = wav_decode(b)
             dur = int(round(1000.0 * len(samples) / rate))
             return (kind, n, None, None, dur, None)
+        elif b[:2] in (b"II", b"MM") and b[2:4] in (
+                b"*\x00", b"\x00*", b"+\x00", b"\x00+"):  # TIFF 42 / BigTIFF 43
+            from ..kernels.tiff import tiff_decode
+
+            img, tmeta = tiff_decode(b)
+            a = img.astype(np.float64)
+            mask = ~np.isnan(a)
+            if tmeta["nodata"] is not None:
+                mask &= a != tmeta["nodata"]
+            luma = float(np.round(a[mask].mean(), 6)) if mask.any() else None
+            return (kind, n, tmeta["width"], tmeta["height"], None, luma)
         else:
             raise NotImplementedError(
                 "decode for non-PNG/WAV/baseline-JPEG media (MP3, "

@@ -762,6 +762,34 @@ def test_decode_media_jpeg_real(spark):
     assert row["mean_luma"] == pytest.approx(float(decoded.astype("float64").mean()), abs=1e-4)
 
 
+def test_decode_media_tiff_real(spark):
+    """(Geo)TIFF media rows route through the from-spec TIFF codec: exact
+    dimensions, nodata-excluded mean, BigTIFF sniffed too, corrupt TIFF
+    quarantined in the skip lane."""
+    import numpy as np
+    from geopull_spark.kernels.tiff import tiff_encode
+
+    arr = np.arange(12 * 20, dtype=np.uint16).reshape(12, 20) % 400
+    arr[0, :5] = 999  # nodata pixels excluded from the mean
+    buf = tiff_encode(arr, 0.0, 1.0, 0.1, 0.1, compression=8, nodata=999)
+    big = tiff_encode(arr, 0.0, 1.0, 0.1, 0.1, compression=5, bigtiff=True)
+    media = spark.createDataFrame(
+        [("mT", "d0", "image", bytearray(buf)),
+         ("mB", "d0", "image", bytearray(big)),
+         ("mX", "d0", "image", bytearray(buf[:40]))],
+        "media_ref string, doc_id string, kind string, content binary",
+    )
+    rows = {r["media_ref"]: r
+            for r in multimodal.decode_media(media, on_error="skip").collect()}
+    exp = float(np.round(arr[arr != 999].astype(np.float64).mean(), 6))
+    assert (rows["mT"]["width"], rows["mT"]["height"]) == (20, 12)
+    assert rows["mT"]["mean_luma"] == pytest.approx(exp, abs=1e-6)
+    assert (rows["mB"]["width"], rows["mB"]["status"]) == (20, "ok")
+    assert rows["mB"]["mean_luma"] == pytest.approx(
+        float(np.round(arr.astype(np.float64).mean(), 6)), abs=1e-6)
+    assert rows["mX"]["status"] == "error" and rows["mX"]["width"] is None
+
+
 def test_pip_rect_assign_matches_integer_truth(spark):
     """The full J7 machinery (cover index + cell join + PIP refine kernel)
     against rectangle zones must equal pure integer interval arithmetic on
