@@ -31,6 +31,7 @@ from ..kernels.cells import cell_id
 from ..kernels.tiff import tiff_decode_chunk, tiff_parse_meta
 
 _DESC_SCHEMA = T.StructType([
+    T.StructField("file_id", T.IntegerType(), False),
     T.StructField("chunk_idx", T.IntegerType(), False),
     T.StructField("offset", T.LongType(), False),
     T.StructField("count", T.LongType(), False),
@@ -80,29 +81,48 @@ def _chunk_cells(meta: dict, idx: int, raw: bytes, res: int) -> tuple[np.ndarray
     return uniq, sums, counts.astype(np.int64)
 
 
-def read_geotiff_cells(spark: SparkSession, path: str, res: int,
+def read_geotiff_cells(spark: SparkSession, path: str | list[str], res: int,
                        n_partitions: int | None = None) -> DataFrame:
-    """GeoTIFF file → (cell, value, n_px) at resolution ``res``.
+    """GeoTIFF file(s) → (cell, value, n_px) at resolution ``res``.
 
-    One descriptor row per strip/tile; tasks read their own byte ranges.
-    Cells straddling chunk boundaries combine in the final hash agg (the
-    in-kernel combine already collapsed everything within a chunk, so the
-    shuffle carries at most one row per (chunk, cell))."""
-    meta = read_geotiff_meta(path)
-    rows = [(i, o, c) for i, (o, c) in enumerate(zip(meta["offsets"], meta["counts"]))]
+    One descriptor row per (file, strip/tile); tasks read their own byte
+    ranges. ``path`` may be a list — a mosaic of tiles covering a large
+    extent (the usual shape of a global population raster) fans out as one
+    descriptor table, each file's few-KB IFD parsed once driver-side; tiles
+    covering the same cells combine in the final agg exactly like chunks
+    straddling a boundary. Cells straddling chunk boundaries combine in the
+    final hash agg (the in-kernel combine already collapsed everything
+    within a chunk, so the shuffle carries at most one row per
+    (chunk, cell))."""
+    paths = [path] if isinstance(path, str) else list(path)
+    metas = [read_geotiff_meta(p) for p in paths]
+    rows = [(fi, i, o, c)
+            for fi, meta in enumerate(metas)
+            for i, (o, c) in enumerate(zip(meta["offsets"], meta["counts"]))]
     n_parts = n_partitions or min(len(rows), spark.sparkContext.defaultParallelism)
     desc = spark.createDataFrame(rows, _DESC_SCHEMA).repartition(max(n_parts, 1))
+    # metas ride the closure (KBs per file); file handles open lazily per task
+    bc = spark.sparkContext.broadcast((paths, metas))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as f:
+        b_paths, b_metas = bc.value
+        handles: dict[int, object] = {}
+        try:
             for pdf in batches:
                 out_c, out_s, out_n = [], [], []
-                for idx, off, cnt in zip(pdf["chunk_idx"], pdf["offset"], pdf["count"]):
+                for fi, idx, off, cnt in zip(pdf["file_id"], pdf["chunk_idx"],
+                                             pdf["offset"], pdf["count"]):
+                    fi = int(fi)
+                    f = handles.get(fi)
+                    if f is None:
+                        f = handles[fi] = open(b_paths[fi], "rb")
                     f.seek(int(off))
                     raw = f.read(int(cnt))
                     if len(raw) < int(cnt):
-                        raise ValueError(f"tiff: chunk {int(idx)} byte range beyond EOF")
-                    cells, sums, counts = _chunk_cells(meta, int(idx), raw, res)
+                        raise ValueError(
+                            f"tiff: chunk {int(idx)} of {b_paths[fi]} byte "
+                            f"range beyond EOF")
+                    cells, sums, counts = _chunk_cells(b_metas[fi], int(idx), raw, res)
                     out_c.append(cells)
                     out_s.append(sums)
                     out_n.append(counts)
@@ -111,6 +131,9 @@ def read_geotiff_cells(spark: SparkSession, path: str, res: int,
                     "value": np.concatenate(out_s) if out_s else np.zeros(0),
                     "n_px": np.concatenate(out_n) if out_n else np.zeros(0, np.int64),
                 })
+        finally:
+            for f in handles.values():
+                f.close()
 
     from pyspark.sql import functions as F
 

@@ -878,3 +878,19 @@ def test_geotiff_distributed_reader_and_zonal(spark, tmp_path):
     tot = sum(r["zonal_sum"] for r in out.collect())
     full = float(arr[keep].astype(np.float64).sum())
     assert 0.9 * full <= tot <= full + 1e-6
+
+    # mosaic: the same extent split into two side-by-side files (each with
+    # its own georeferencing, different compressions) must aggregate to the
+    # SAME per-cell table as the single file
+    lp, rp = str(tmp_path / "left.tif"), str(tmp_path / "right.tif")
+    with open(lp, "wb") as f:
+        f.write(tiff_encode(arr[:, : w // 2], lon0=0.0, lat0=1.0,
+                            px_lon=1.0 / w, px_lat=1.0 / h, compression=8,
+                            nodata=999.0))
+    with open(rp, "wb") as f:
+        f.write(tiff_encode(arr[:, w // 2:], lon0=0.5, lat0=1.0,
+                            px_lon=1.0 / w, px_lat=1.0 / h, compression=1,
+                            nodata=999.0, bigtiff=True))
+    mosaic = {r["cell"]: (r["value"], r["n_px"])
+              for r in read_geotiff_cells(spark, [lp, rp], res).collect()}
+    assert mosaic == want
