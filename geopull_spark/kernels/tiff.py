@@ -227,7 +227,7 @@ def packbits_encode(data: bytes) -> bytes:
 
 
 def _read_ifd_entries(data: bytes, bo: str, ifd_off: int,
-                      big: bool = False) -> dict[int, list]:
+                      big: bool = False) -> tuple[dict[int, list], int]:
     # classic: u16 count, 12-byte entries (count u32 @4, value u32 @8);
     # BigTIFF: u64 count, 20-byte entries (count u64 @4, value u64 @12)
     cnt_fmt, cnt_sz, ent_sz = ("Q", 8, 20) if big else ("H", 2, 12)
@@ -260,7 +260,11 @@ def _read_ifd_entries(data: bytes, bo: str, ifd_off: int,
             tags[tag] = [vals[2 * j] / (vals[2 * j + 1] or 1) for j in range(count)]
         else:
             tags[tag] = list(struct.unpack_from(bo + fmt * count, data, voff))
-    return tags
+    ptr_at = ifd_off + cnt_sz + ent_sz * n_entries
+    next_off = 0
+    if ptr_at + (8 if big else 4) <= len(data):
+        (next_off,) = struct.unpack_from(bo + off_fmt, data, ptr_at)
+    return tags, next_off
 
 
 def tiff_parse_meta(data: bytes) -> dict:
@@ -291,8 +295,44 @@ def tiff_parse_meta(data: bytes) -> dict:
         big = True
     else:
         raise ValueError("tiff: bad magic")
-    t = _read_ifd_entries(data, bo, ifd_off, big)
+    t, _ = _read_ifd_entries(data, bo, ifd_off, big)
+    return _meta_from_tags(t, bo, big)
 
+
+def tiff_parse_overviews(data: bytes) -> list[dict]:
+    """Parse the FULL IFD chain — cloud-optimized GeoTIFFs append reduced-
+    resolution overview IFDs (NewSubfileType=1) after the full-res one.
+    Returns one meta dict per level, finest first. Overview IFDs without
+    their own geo tags (the GDAL convention: geo lives on IFD 0 only)
+    inherit the level-0 anchor with pixel size scaled by the width ratio.
+
+    The scale win this enables: a coarse zonal query can read overview
+    level k and touch ~4^-k of the bytes."""
+    if len(data) < 8:
+        raise ValueError("tiff: shorter than header")
+    bo = {"II": "<", "MM": ">"}.get(data[:2].decode("latin1"))
+    if bo is None:
+        raise ValueError("tiff: bad byte-order mark")
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    big = magic == 43
+    if big:
+        _, _, ifd_off = struct.unpack_from(bo + "HHQ", data, 4)
+    else:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    metas: list[dict] = []
+    seen: set[int] = set()
+    while ifd_off and ifd_off not in seen:  # cycle guard on corrupt chains
+        seen.add(ifd_off)
+        t, ifd_off = _read_ifd_entries(data, bo, int(ifd_off), big)
+        metas.append(_meta_from_tags(t, bo, big,
+                                     parent=metas[0] if metas else None))
+    if not metas:
+        raise ValueError("tiff: empty IFD chain")
+    return metas
+
+
+def _meta_from_tags(t: dict[int, list], bo: str, big: bool,
+                    parent: dict | None = None) -> dict:
     def one(tag: int, default=None):
         v = t.get(tag)
         if v is None:
@@ -359,18 +399,27 @@ def tiff_parse_meta(data: bytes) -> dict:
         scale = t.get(_TAG_MODEL_PIXEL_SCALE)
         tie = t.get(_TAG_MODEL_TIEPOINT)
         if not scale or not tie or len(tie) < 6:
-            raise ValueError("tiff: no georeferencing (ModelPixelScale+Tiepoint)")
-        sx, sy = scale[0], scale[1]
-        # tiepoint: raster (i,j,k) → model (x,y,z); anchor the affine so
-        # pixel (0,0)'s OUTER corner is (lon0, lat0)
-        lon0 = tie[3] - tie[0] * sx
-        lat0 = tie[4] + tie[1] * sy
+            if parent is None:
+                raise ValueError("tiff: no georeferencing (ModelPixelScale+Tiepoint)")
+            # overview IFD without geo tags (GDAL keeps geo on IFD 0 only):
+            # same outer-corner anchor, pixel size scaled by dimension ratio
+            sx = parent["px_lon"] * parent["width"] / width
+            sy = parent["px_lat"] * parent["height"] / height
+            lon0, lat0 = parent["lon0"], parent["lat0"]
+        else:
+            sx, sy = scale[0], scale[1]
+            # tiepoint: raster (i,j,k) → model (x,y,z); anchor the affine so
+            # pixel (0,0)'s OUTER corner is (lon0, lat0)
+            lon0 = tie[3] - tie[0] * sx
+            lat0 = tie[4] + tie[1] * sy
     nodata = None
     if _TAG_GDAL_NODATA in t:
         try:
             nodata = float(str(t[_TAG_GDAL_NODATA][0]).strip())
         except ValueError:
             nodata = None
+    elif parent is not None:
+        nodata = parent["nodata"]
 
     return {
         "width": width, "height": height, "dtype": dtype, "byteorder": bo,
@@ -447,10 +496,15 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
                 px_lon: float, px_lat: float, compression: int = 8,
                 tile_size: int | None = None, rows_per_strip: int = 64,
                 predictor: int = 1, nodata: float | None = None,
-                byteorder: str = "<", bigtiff: bool = False) -> bytes:
+                byteorder: str = "<", bigtiff: bool = False,
+                overviews: int = 0) -> bytes:
     """Minimal GeoTIFF writer (tests + synthetic population rasters):
-    single-band strip or tiled layout, none/deflate, optional horizontal
+    single-band strip or tiled layout, none/LZW/deflate/PackBits, optional
     predictor, ModelPixelScale + ModelTiepoint georeferencing.
+
+    ``overviews`` > 0 appends that many 2×-decimated reduced-resolution
+    levels as chained IFDs (NewSubfileType=1 — the cloud-optimized-GeoTIFF
+    overview layout; geo tags stay on IFD 0, GDAL-style).
 
     ``lon0``/``lat0`` are the OUTER top-left corner; ``px_lat`` is positive
     (north-up row step downward)."""
@@ -495,84 +549,114 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
             return packbits_encode(raw)
         return raw
 
-    chunks: list[bytes] = []
-    if tile_size:
-        if tile_size % 16:
-            raise ValueError("tiff_encode: tile size must be a multiple of 16")
-        across = (w + tile_size - 1) // tile_size
-        down = (h + tile_size - 1) // tile_size
-        for ty in range(down):
-            for tx in range(across):
-                tile = np.zeros((tile_size, tile_size), dtype=arr.dtype)
-                src = arr[ty * tile_size: (ty + 1) * tile_size,
-                          tx * tile_size: (tx + 1) * tile_size]
-                tile[: src.shape[0], : src.shape[1]] = src
-                chunks.append(chunk_bytes(tile))
-    else:
-        for r0 in range(0, h, rows_per_strip):
-            chunks.append(chunk_bytes(arr[r0: r0 + rows_per_strip]))
+    levels = [arr]
+    for _ in range(max(overviews, 0)):
+        prev = levels[-1]
+        if min(prev.shape) < 2:
+            break
+        # nearest (top-left) decimation: dtype-exact and deterministic (the
+        # GDAL "nearest" overview resampler); averaging would change dtype
+        levels.append(prev[::2, ::2])
+
+    def make_chunks(a: np.ndarray) -> list[bytes]:
+        hh, ww = a.shape
+        out: list[bytes] = []
+        if tile_size:
+            if tile_size % 16:
+                raise ValueError("tiff_encode: tile size must be a multiple of 16")
+            for ty in range((hh + tile_size - 1) // tile_size):
+                for tx in range((ww + tile_size - 1) // tile_size):
+                    tile = np.zeros((tile_size, tile_size), dtype=a.dtype)
+                    src = a[ty * tile_size: (ty + 1) * tile_size,
+                            tx * tile_size: (tx + 1) * tile_size]
+                    tile[: src.shape[0], : src.shape[1]] = src
+                    out.append(chunk_bytes(tile))
+        else:
+            for r0 in range(0, hh, rows_per_strip):
+                out.append(chunk_bytes(a[r0: r0 + rows_per_strip]))
+        return out
 
     bo = byteorder
-    entries: list[tuple[int, int, int, list]] = []  # (tag, type, count, values)
-
-    def add(tag, ftype, vals):
-        entries.append((tag, ftype, len(vals), list(vals)))
-
     off_ftype = 16 if bigtiff else 4  # LONG8 offsets: the point of BigTIFF
-    add(_TAG_WIDTH, 4, [w])
-    add(_TAG_LENGTH, 4, [h])
-    add(_TAG_BITS, 3, [kind_bits[1]])
-    add(_TAG_COMPRESSION, 3, [compression])
-    add(_TAG_PHOTOMETRIC, 3, [1])
-    add(_TAG_SAMPLES_PER_PIXEL, 3, [1])
-    if tile_size:
-        add(_TAG_TILE_WIDTH, 3, [tile_size])
-        add(_TAG_TILE_LENGTH, 3, [tile_size])
-        add(_TAG_TILE_OFFSETS, off_ftype, [0] * len(chunks))   # patched below
-        add(_TAG_TILE_COUNTS, 4, [len(c) for c in chunks])
-    else:
-        add(_TAG_ROWS_PER_STRIP, 3, [rows_per_strip])
-        add(_TAG_STRIP_OFFSETS, off_ftype, [0] * len(chunks))  # patched below
-        add(_TAG_STRIP_COUNTS, 4, [len(c) for c in chunks])
-    if predictor != 1:
-        add(_TAG_PREDICTOR, 3, [predictor])
-    add(_TAG_SAMPLE_FORMAT, 3, [sfmt])
-    add(_TAG_MODEL_PIXEL_SCALE, 12, [px_lon, px_lat, 0.0])
-    add(_TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, lon0, lat0, 0.0])
-    if nodata is not None:
-        nd = (f"{nodata:.10g}").encode() + b"\x00"
-        entries.append((_TAG_GDAL_NODATA, 2, len(nd), [nd]))
-    entries.sort(key=lambda e: e[0])
 
-    # layout: header(8 | 16) | IFD | out-of-line values | pixel chunks.
+    def make_entries(a: np.ndarray, chunks: list[bytes],
+                     level0: bool) -> list[tuple[int, int, int, list]]:
+        hh, ww = a.shape
+        entries: list[tuple[int, int, int, list]] = []
+
+        def add(tag, ftype, vals):
+            entries.append((tag, ftype, len(vals), list(vals)))
+
+        if not level0:
+            add(254, 4, [1])  # NewSubfileType: reduced-resolution overview
+        add(_TAG_WIDTH, 4, [ww])
+        add(_TAG_LENGTH, 4, [hh])
+        add(_TAG_BITS, 3, [kind_bits[1]])
+        add(_TAG_COMPRESSION, 3, [compression])
+        add(_TAG_PHOTOMETRIC, 3, [1])
+        add(_TAG_SAMPLES_PER_PIXEL, 3, [1])
+        if tile_size:
+            add(_TAG_TILE_WIDTH, 3, [tile_size])
+            add(_TAG_TILE_LENGTH, 3, [tile_size])
+            add(_TAG_TILE_OFFSETS, off_ftype, [0] * len(chunks))   # patched below
+            add(_TAG_TILE_COUNTS, 4, [len(c) for c in chunks])
+        else:
+            add(_TAG_ROWS_PER_STRIP, 3, [rows_per_strip])
+            add(_TAG_STRIP_OFFSETS, off_ftype, [0] * len(chunks))  # patched below
+            add(_TAG_STRIP_COUNTS, 4, [len(c) for c in chunks])
+        if predictor != 1:
+            add(_TAG_PREDICTOR, 3, [predictor])
+        add(_TAG_SAMPLE_FORMAT, 3, [sfmt])
+        if level0:  # GDAL convention: geo + nodata live on IFD 0 only
+            add(_TAG_MODEL_PIXEL_SCALE, 12, [px_lon, px_lat, 0.0])
+            add(_TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, lon0, lat0, 0.0])
+            if nodata is not None:
+                nd = (f"{nodata:.10g}").encode() + b"\x00"
+                entries.append((_TAG_GDAL_NODATA, 2, len(nd), [nd]))
+        entries.sort(key=lambda e: e[0])
+        return entries
+
+    level_chunks = [make_chunks(a) for a in levels]
+    level_entries = [make_entries(a, c, li == 0)
+                     for li, (a, c) in enumerate(zip(levels, level_chunks))]
+
+    # layout: header | [IFD_i | out-of-line values_i]... | all pixel chunks.
+    # Overview IFDs chain through the next-IFD pointer (COG layout).
     # BigTIFF (magic 43): u64 IFD offset, u64 entry count, 20-byte entries
     # with u64 counts and 8-byte inline values, u64 next-IFD pointer.
     hdr_sz, cnt_sz, ent_sz, ptr_sz = (16, 8, 20, 8) if bigtiff else (8, 2, 12, 4)
     inline_max, ofmt, cfmt = (8, "Q", "Q") if bigtiff else (4, "I", "I")
-    ifd_size = cnt_sz + ent_sz * len(entries) + ptr_sz
-    pos = hdr_sz + ifd_size
-    value_blobs: list[bytes] = []
-    packed: list[tuple[int, int, int, bytes | None, int]] = []
-    for tag, ftype, count, vals in entries:
-        fmt, size = _TYPES[ftype]
-        if ftype == 2:
-            blob = vals[0]
-        elif ftype in (5, 10):
-            blob = b""  # not emitted by this writer
-        else:
-            blob = struct.pack(bo + fmt * count, *vals)
-        if len(blob) <= inline_max:
-            packed.append((tag, ftype, count, blob.ljust(inline_max, b"\x00"), -1))
-        else:
-            packed.append((tag, ftype, count, None, pos))
-            value_blobs.append(blob)
-            pos += len(blob)
-    data_start = pos
-    offs, cur = [], data_start
-    for c in chunks:
-        offs.append(cur)
-        cur += len(c)
-    # patch chunk offsets into their value blob (always out-of-line unless 1 chunk)
+    pos = hdr_sz
+    ifd_offs: list[int] = []
+    packed_levels = []
+    for entries in level_entries:
+        ifd_offs.append(pos)
+        pos += cnt_sz + ent_sz * len(entries) + ptr_sz
+        value_blobs: list[bytes] = []
+        packed: list[tuple[int, int, int, bytes | None, int]] = []
+        for tag, ftype, count, vals in entries:
+            fmt, size = _TYPES[ftype]
+            if ftype == 2:
+                blob = vals[0]
+            elif ftype in (5, 10):
+                blob = b""  # not emitted by this writer
+            else:
+                blob = struct.pack(bo + fmt * count, *vals)
+            if len(blob) <= inline_max:
+                packed.append((tag, ftype, count, blob.ljust(inline_max, b"\x00"), -1))
+            else:
+                packed.append((tag, ftype, count, None, pos))
+                value_blobs.append(blob)
+                pos += len(blob)
+        packed_levels.append((packed, value_blobs))
+    level_offs: list[list[int]] = []
+    for chunks in level_chunks:
+        offs = []
+        for c in chunks:
+            offs.append(pos)
+            pos += len(c)
+        level_offs.append(offs)
+
     off_tag = _TAG_TILE_OFFSETS if tile_size else _TAG_STRIP_OFFSETS
     off_blob_fmt = "Q" if bigtiff else "I"
     out = bytearray()
@@ -581,24 +665,28 @@ def tiff_encode(arr: np.ndarray, lon0: float, lat0: float,
         out += struct.pack(bo + "HHHQ", 43, 8, 0, 16)
     else:
         out += struct.pack(bo + "HI", 42, 8)
-    out += struct.pack(bo + ("Q" if bigtiff else "H"), len(entries))
-    blob_i = 0
-    for tag, ftype, count, inline, voff in packed:
-        out += struct.pack(bo + "HH" + cfmt, tag, ftype, count)
-        if inline is not None:
-            if tag == off_tag:  # single chunk, inline offset
-                inline = struct.pack(bo + off_blob_fmt, offs[0]).ljust(inline_max, b"\x00")
-            out += inline
-        else:
-            out += struct.pack(bo + ofmt, voff)
-    out += struct.pack(bo + ofmt, 0)  # next-IFD pointer
-    for tag, ftype, count, inline, voff in packed:
-        if inline is None:
-            blob = value_blobs[blob_i]
-            blob_i += 1
-            if tag == off_tag:
-                blob = struct.pack(bo + off_blob_fmt * len(offs), *offs)
-            out += blob
-    for c in chunks:
-        out += c
+    for li, ((packed, value_blobs), offs) in enumerate(zip(packed_levels, level_offs)):
+        out += struct.pack(bo + ("Q" if bigtiff else "H"), len(packed))
+        for tag, ftype, count, inline, voff in packed:
+            out += struct.pack(bo + "HH" + cfmt, tag, ftype, count)
+            if inline is not None:
+                if tag == off_tag:  # single chunk, inline offset
+                    inline = struct.pack(bo + off_blob_fmt, offs[0]).ljust(
+                        inline_max, b"\x00")
+                out += inline
+            else:
+                out += struct.pack(bo + ofmt, voff)
+        nxt = ifd_offs[li + 1] if li + 1 < len(ifd_offs) else 0
+        out += struct.pack(bo + ofmt, nxt)
+        blob_i = 0
+        for tag, ftype, count, inline, voff in packed:
+            if inline is None:
+                blob = value_blobs[blob_i]
+                blob_i += 1
+                if tag == off_tag:
+                    blob = struct.pack(bo + off_blob_fmt * len(offs), *offs)
+                out += blob
+    for chunks in level_chunks:
+        for c in chunks:
+            out += c
     return bytes(out)

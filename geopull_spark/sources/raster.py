@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..kernels.cells import cell_id
-from ..kernels.tiff import tiff_decode_chunk, tiff_parse_meta
+from ..kernels.tiff import tiff_decode_chunk, tiff_parse_meta, tiff_parse_overviews
 
 _DESC_SCHEMA = T.StructType([
     T.StructField("file_id", T.IntegerType(), False),
@@ -50,6 +50,26 @@ def read_geotiff_meta(path: str) -> dict:
     with open(path, "rb") as f:
         with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
             return tiff_parse_meta(mm)
+
+
+def read_geotiff_overviews(path: str) -> list[dict]:
+    """Parse the full IFD chain (cloud-optimized-GeoTIFF overviews): one
+    meta per level, finest first. Same few-KB mmap I/O as
+    :func:`read_geotiff_meta`."""
+    with open(path, "rb") as f:
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            return tiff_parse_overviews(mm)
+
+
+def _meta_at_level(path: str, level: int) -> dict:
+    if level == 0:
+        return read_geotiff_meta(path)
+    metas = read_geotiff_overviews(path)
+    if level >= len(metas):
+        raise ValueError(
+            f"raster {path}: overview level {level} requested but only "
+            f"{len(metas) - 1} overview level(s) present")
+    return metas[level]
 
 
 def _chunk_cells(meta: dict, idx: int, raw: bytes, res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -82,7 +102,8 @@ def _chunk_cells(meta: dict, idx: int, raw: bytes, res: int) -> tuple[np.ndarray
 
 
 def read_geotiff_cells(spark: SparkSession, path: str | list[str], res: int,
-                       n_partitions: int | None = None) -> DataFrame:
+                       n_partitions: int | None = None,
+                       level: int = 0) -> DataFrame:
     """GeoTIFF file(s) → (cell, value, n_px) at resolution ``res``.
 
     One descriptor row per (file, strip/tile); tasks read their own byte
@@ -93,9 +114,16 @@ def read_geotiff_cells(spark: SparkSession, path: str | list[str], res: int,
     straddling a boundary. Cells straddling chunk boundaries combine in the
     final hash agg (the in-kernel combine already collapsed everything
     within a chunk, so the shuffle carries at most one row per
-    (chunk, cell))."""
+    (chunk, cell)).
+
+    ``level`` selects a cloud-optimized-GeoTIFF overview (0 = full
+    resolution): a coarse zonal query at overview k reads ~4^-k of the
+    bytes — the cheap path when the analysis cell size dwarfs the native
+    pixel. Each overview pixel carries the VALUE of its decimated source
+    pixel, so sums scale by ~4^k (means are unbiased); callers wanting
+    totals at coarse levels should rescale or stay at level 0."""
     paths = [path] if isinstance(path, str) else list(path)
-    metas = [read_geotiff_meta(p) for p in paths]
+    metas = [_meta_at_level(p, level) for p in paths]
     rows = [(fi, i, o, c)
             for fi, meta in enumerate(metas)
             for i, (o, c) in enumerate(zip(meta["offsets"], meta["counts"]))]

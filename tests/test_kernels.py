@@ -1095,3 +1095,49 @@ def test_bigtiff():
 
     with pytest.raises(ValueError):  # corrupted BigTIFF offset size
         tiff_parse_meta(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16) + b"\x00" * 16)
+
+
+def test_tiff_overviews_cog():
+    """COG overview chain: encode with 2 decimated levels as chained IFDs,
+    parse the chain back, decode every level exactly, geo inherited from
+    IFD 0 with pixel size scaled by the width ratio."""
+    from geopull_spark.kernels.tiff import (tiff_decode, tiff_decode_chunk,
+                                            tiff_encode, tiff_parse_meta,
+                                            tiff_parse_overviews)
+
+    def assemble(data, meta):
+        out = np.zeros((meta["height"], meta["width"]), dtype=np.dtype(meta["dtype"]))
+        cw, ch = meta["chunk_width"], meta["chunk_height"]
+        for idx, (off, cnt) in enumerate(zip(meta["offsets"], meta["counts"])):
+            a = tiff_decode_chunk(meta, idx, data[off: off + cnt])
+            ty, tx = divmod(idx, meta["chunks_across"])
+            y0 = ty * ch if meta["layout"] == "tile" else idx * ch
+            x0 = tx * cw
+            ys = min(a.shape[0], meta["height"] - y0)
+            xs = min(cw, meta["width"] - x0)
+            out[y0: y0 + ys, x0: x0 + xs] = a[:ys, :xs]
+        return out
+
+    rng = np.random.RandomState(13)
+    arr = rng.randint(0, 5000, size=(64, 48)).astype(np.uint16)
+    want = [arr, arr[::2, ::2], arr[::2, ::2][::2, ::2]]
+    for kw in [dict(compression=8, rows_per_strip=16, nodata=7.0),
+               dict(compression=5, bigtiff=True),
+               dict(compression=1, tile_size=16, byteorder=">")]:
+        buf = tiff_encode(arr, 10.0, 50.0, 0.25, 0.5, overviews=2, **kw)
+        metas = tiff_parse_overviews(buf)
+        assert [m["width"] for m in metas] == [48, 24, 12]
+        assert [m["height"] for m in metas] == [64, 32, 16]
+        for m, w in zip(metas, want):
+            assert np.array_equal(assemble(buf, m), w), kw
+        # geo: shared anchor, pixel size doubles per level; nodata inherited
+        assert all((m["lon0"], m["lat0"]) == (10.0, 50.0) for m in metas)
+        assert [m["px_lon"] for m in metas] == [0.25, 0.5, 1.0]
+        assert [m["px_lat"] for m in metas] == [0.5, 1.0, 2.0]
+        if kw.get("nodata"):
+            assert all(m["nodata"] == 7.0 for m in metas)
+        # first IFD unchanged for plain readers
+        full, meta0 = tiff_decode(buf)
+        assert np.array_equal(full, arr) and meta0["width"] == 48
+    # no-overview files: chain of one
+    assert len(tiff_parse_overviews(tiff_encode(arr, 0, 1, 0.1, 0.1))) == 1

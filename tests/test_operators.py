@@ -894,3 +894,31 @@ def test_geotiff_distributed_reader_and_zonal(spark, tmp_path):
     mosaic = {r["cell"]: (r["value"], r["n_px"])
               for r in read_geotiff_cells(spark, [lp, rp], res).collect()}
     assert mosaic == want
+
+    # COG overviews: level-1 read must equal the numpy truth on the
+    # decimated grid (2× pixel size, same anchor, nodata inherited)
+    cog = str(tmp_path / "cog.tif")
+    with open(cog, "wb") as f:
+        f.write(tiff_encode(arr, lon0=0.0, lat0=1.0, px_lon=1.0 / w,
+                            px_lat=1.0 / h, compression=8, tile_size=64,
+                            nodata=999.0, overviews=1))
+    got1 = {r["cell"]: (r["value"], r["n_px"])
+            for r in read_geotiff_cells(spark, cog, res, level=1).collect()}
+    a1 = arr[::2, ::2]
+    h1, w1 = a1.shape
+    lon1 = (np.arange(w1) + 0.5) * (2.0 / w)
+    lat1 = 1.0 - (np.arange(h1) + 0.5) * (2.0 / h)
+    keep1 = a1 != 999
+    cell1 = cellk.cell_id(np.broadcast_to(lon1[None, :], a1.shape)[keep1],
+                          np.broadcast_to(lat1[:, None], a1.shape)[keep1],
+                          res).astype(np.int64)
+    u1, i1 = np.unique(cell1, return_inverse=True)
+    want1 = {int(c): (float(s), int(n)) for c, s, n in zip(
+        u1, np.bincount(i1, weights=a1[keep1].astype(np.float64)), np.bincount(i1))}
+    assert got1 == want1
+    # full-res read of the COG file is unchanged by the appended overview
+    assert {r["cell"]: (r["value"], r["n_px"])
+            for r in read_geotiff_cells(spark, cog, res).collect()} == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_geotiff_cells(spark, cog, res, level=2)
