@@ -1,15 +1,19 @@
-"""Baseline JPEG (JFIF) codec — pure stdlib + numpy, no PIL.
+"""JPEG (JFIF) codec — pure stdlib + numpy, no PIL.
 
 Closes the round-3 "decode for JPEG stays a NotImplementedError" gap
 (VERDICT r3 missing #2): the container has no image libraries, so both sides
-are implemented from the ITU-T T.81 spec: a baseline sequential DCT encoder
-(for hermetic test fixtures and synthetic media) and a decoder supporting
-the shapes that dominate real crawls — baseline DCT, Huffman, 8-bit,
-grayscale / YCbCr 4:4:4 / 4:2:0 (and the other h/v factor combinations up
-to 2), restart intervals.
+are implemented from the ITU-T T.81 spec: encoders (baseline sequential DCT
+plus a progressive SOF2 encoder for hermetic fixtures) and a decoder
+supporting the shapes that dominate real crawls — baseline DCT, Huffman,
+8-bit, grayscale / YCbCr 4:4:4 / 4:2:0 (and the other h/v factor
+combinations up to 2), restart intervals, and PROGRESSIVE DCT (round 5,
+T.81 Annex G: spectral selection + successive approximation, DC/AC first
+and refinement scans, EOB runs). The progressive decode is validated by
+bit-identity: the same quantized coefficients entropy-coded progressively
+must decode to exactly the baseline path's pixels.
 
-Out of scope (still a loud ValueError): progressive DCT (SOF2), arithmetic
-coding, 12-bit precision, hierarchical. These raise with the marker name so
+Out of scope (still a loud ValueError): arithmetic coding, 12-bit
+precision, hierarchical. These raise with the marker name so
 `decode_media` reports an honest unsupported-format error.
 
 The DCT is the exact float64 2-D transform via a precomputed 8×8 basis
@@ -314,6 +318,181 @@ def jpeg_encode(img: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """Progressive JFIF (SOF2) encoder: spectral selection + successive
+    approximation per T.81 Annex G (DC Al 1→0; AC bands [1,5] and [6,63]
+    at Al 2→1→0), standard Annex K tables, EOB runs of length 1, grayscale
+    or RGB 4:4:4. Exists mainly to exercise the progressive decoder through
+    a genuinely different entropy coding of the SAME quantized coefficients:
+    the decode must be bit-identical to the baseline path's."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError("jpeg_encode_progressive: bad dimensions")
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qt_l = np.clip(np.floor((QT_LUMA * scale + 50) / 100), 1, 255)
+    qt_c = np.clip(np.floor((QT_CHROMA * scale + 50) / 100), 1, 255)
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    ncomp = len(planes)
+    qtabs = [qt_l] + [qt_c] * (ncomp - 1)
+    # zigzag-order integer coefficients per component (all comps h=v=1)
+    coeffs = [
+        np.round(_dct2(_to_blocks(p)) / qtabs[ci]).astype(np.int64)
+        .reshape(-1, 64)[:, ZIGZAG]
+        for ci, p in enumerate(planes)
+    ]
+    nb = len(coeffs[0])
+    dc_tabs = [_huff_code_table(*HUFF_DC_LUMA)] + \
+        [_huff_code_table(*HUFF_DC_CHROMA)] * (ncomp - 1)
+    ac_tabs = [_huff_code_table(*HUFF_AC_LUMA)] + \
+        [_huff_code_table(*HUFF_AC_CHROMA)] * (ncomp - 1)
+
+    def dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for m in range(nb):
+            for ci in range(ncomp):
+                dc = int(coeffs[ci][m, 0]) >> al  # arithmetic shift (G.1.2.1)
+                size, pat = _magnitude(dc - preds[ci])
+                preds[ci] = dc
+                code, ln = dc_tabs[ci][size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(pat, size)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for m in range(nb):
+            for ci in range(ncomp):
+                bw.write((int(coeffs[ci][m, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        ac = ac_tabs[ci]
+        for m in range(nb):
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(coeffs[ci][m, k])
+                t = abs(v) >> al  # magnitude point transform (G.1.2.2)
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                size = t.bit_length()
+                pat = t if v >= 0 else ((1 << size) - 1 - t)
+                code, ln = ac[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(pat, size)
+                run = 0
+            if run:  # trailing zeros → EOB (run of exactly 1 block)
+                code, ln = ac[0x00]
+                bw.write(code, ln)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        # correction bits must land exactly where the decoder CROSSES their
+        # coefficient (during a ZRL 16-zero advance, an RS zero-run advance,
+        # or the final EOB sweep) — so simulate the decoder's band pointer
+        bw = _BitWriter()
+        ac = ac_tabs[ci]
+        for m in range(nb):
+            band = [int(v) for v in coeffs[ci][m, ss:se + 1]]
+            absv = [abs(v) >> al for v in band]
+            last = len(band) - 1
+            p = 0  # decoder's position within the band
+            for k, t in enumerate(absv):
+                if t != 1:  # only newly-nonzero coefficients get coded
+                    continue
+                r = sum(1 for i in range(p, k) if absv[i] == 0)
+                while r > 15:
+                    code, ln = ac[0xF0]
+                    bw.write(code, ln)
+                    zeros = 0
+                    while True:  # decoder consumes exactly 16 zero-history
+                        if absv[p] == 0:
+                            zeros += 1
+                            if zeros == 16:
+                                p += 1
+                                break
+                        else:
+                            bw.write(absv[p] & 1, 1)
+                        p += 1
+                    r -= 16
+                code, ln = ac[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if band[k] > 0 else 0, 1)
+                for i in range(p, k):
+                    if absv[i] != 0:
+                        bw.write(absv[i] & 1, 1)
+                p = k + 1
+            if p <= last:  # decoder expects a symbol: EOB run of 1 + sweep
+                code, ln = ac[0x00]
+                bw.write(code, ln)
+                for i in range(p, last + 1):
+                    if absv[i] != 0:
+                        bw.write(absv[i] & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
+        zz = qt.reshape(64)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    for tc_th, (bits, values) in (
+        ((0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA))
+        + (() if gray else ((0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)))
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+
+    def emit_scan(comp_idxs, ss, se, ah, al, body: bytes) -> None:
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idxs),
+                                             len(comp_idxs)))
+        for ci in comp_idxs:
+            td = (0 if ci == 0 else 1) if ss == 0 else 0
+            ta = (0 if ci == 0 else 1) if ss > 0 else 0
+            out.extend(struct.pack("BB", ci + 1, (td << 4) | ta))
+        out.extend(struct.pack("BBB", ss, se, (ah << 4) | al))
+        out.extend(body)
+
+    all_idx = list(range(ncomp))
+    bands = ((1, 5), (6, 63))
+    emit_scan(all_idx, 0, 0, 0, 1, dc_first(1))
+    for ci in range(ncomp):
+        for a, b2 in bands:
+            emit_scan([ci], a, b2, 0, 2, ac_first(ci, a, b2, 2))
+    emit_scan(all_idx, 0, 0, 1, 0, dc_refine(0))
+    for al, ah in ((1, 2), (0, 1)):
+        for ci in range(ncomp):
+            for a, b2 in bands:
+                emit_scan([ci], a, b2, ah, al, ac_refine(ci, a, b2, al))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -395,12 +574,13 @@ def _huff_read(br: _BitReader, table) -> int:
 
 
 def jpeg_decode(buf: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w) grayscale or (h, w, 3) RGB uint8.
+    """JFIF bytes → (h, w) grayscale or (h, w, 3) RGB uint8.
 
-    Supports baseline sequential DCT (SOF0), 8-bit, 1 or 3 components with
-    sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0), restart intervals.
-    Raises ValueError (with the marker name) on progressive/arithmetic/
-    12-bit streams. Any malformed/truncated stream raises a clean
+    Supports baseline sequential DCT (SOF0) and progressive DCT (SOF2,
+    spectral selection + successive approximation), 8-bit, 1 or 3
+    components with sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0),
+    restart intervals. Raises ValueError (with the marker name) on
+    arithmetic/12-bit streams. Any malformed/truncated stream raises a clean
     ValueError — never an IndexError/KeyError/struct.error leaking from the
     parser (crawl-robustness, VERDICT r4 #4); the entropy bit-reader
     zero-pads at EOF and the MCU loop is count-bounded, so corrupt data
@@ -413,6 +593,18 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG ({type(e).__name__}: {e})") from e
 
 
+def _entropy_end(buf: bytes, start: int) -> int:
+    """Index just past a scan's entropy-coded data: the first 0xFF followed
+    by a real marker (not 0x00 stuffing, not RST0-7)."""
+    i = start
+    n = len(buf)
+    while i + 1 < n:
+        if buf[i] == 0xFF and buf[i + 1] != 0x00 and not (0xD0 <= buf[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return n
+
+
 def _jpeg_decode_impl(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -420,6 +612,7 @@ def _jpeg_decode_impl(buf: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    prog = None  # progressive coefficient state, allocated at first SOS
     restart_interval = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
@@ -448,7 +641,7 @@ def _jpeg_decode_impl(buf: bytes) -> np.ndarray:
                 values = list(seg[sp + 17:sp + 17 + n])
                 huff[(tc, th)] = _huff_decode_table(bits, values)
                 sp += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -456,8 +649,9 @@ def _jpeg_decode_impl(buf: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -465,6 +659,24 @@ def _jpeg_decode_impl(buf: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si:3 + 2 * si]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0xF))
+            data_start = pos + 2 + seglen
+            if frame["progressive"]:
+                ss = seg[1 + 2 * ns]
+                se = seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if prog is None:
+                    prog = _prog_init(frame)
+                end = _entropy_end(buf, data_start)
+                _decode_prog_scan(buf[data_start:end], frame, scan, ss, se,
+                                  ahal >> 4, ahal & 0xF, prog, huff,
+                                  restart_interval)
+                pos = end
+                continue
             if ns < len(frame["comps"]):
                 # legal per T.81 (baseline multi-scan, one scan per
                 # component) but unsupported here: decoding only the first
@@ -474,15 +686,11 @@ def _jpeg_decode_impl(buf: bytes) -> np.ndarray:
                     "multi-scan baseline JPEG unsupported "
                     f"(scan has {ns} of {len(frame['comps'])} components)"
                 )
-            scan = []
-            for si in range(ns):
-                cs, tdta = seg[1 + 2 * si:3 + 2 * si]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tdta >> 4, tdta & 0xF))
-            data_start = pos + 2 + seglen
             return _decode_scan(buf, data_start, frame, scan, qts, huff,
                                 restart_interval)
         pos += 2 + seglen
+    if prog is not None:
+        return _prog_reconstruct(frame, prog, qts)
     raise ValueError("JPEG has no scan data")
 
 
@@ -536,6 +744,14 @@ def _decode_scan(buf, start, frame, scan, qts, huff, restart_interval):
                         blk[ZIGZAG] = zz
                         coeffs[ci][my * c["v"] + by, mx * c["h"] + bx] = blk.reshape(8, 8)
             mcu_count += 1
+    return _render(frame, comps, coeffs, qts, hmax, vmax)
+
+
+def _render(frame, comps, coeffs, qts, hmax, vmax) -> np.ndarray:
+    """Quantized (by, bx, 8, 8) coefficient arrays → uint8 image (dequant,
+    IDCT, upsample, YCbCr→RGB) — shared by the baseline and progressive
+    paths."""
+    h, w = frame["h"], frame["w"]
     planes = []
     for ci, c in enumerate(comps):
         qt = qts[c["tq"]]
@@ -555,6 +771,164 @@ def _decode_scan(buf, start, frame, scan, qts, huff, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _prog_init(frame) -> dict:
+    """Per-component int32 coefficient arrays (zigzag order) that accumulate
+    across progressive scans; grids sized for interleaved (MCU-padded) AND
+    non-interleaved (component-ceil) addressing."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors > 2 unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coeffs = []
+    for c in comps:
+        # non-interleaved grid: the component's own ceil-sample dimensions
+        cw = (w * c["h"] + hmax - 1) // hmax
+        chh = (h * c["v"] + vmax - 1) // vmax
+        c["nbw"] = (cw + 7) // 8
+        c["nbh"] = (chh + 7) // 8
+        coeffs.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32))
+    return {"coeffs": coeffs, "mcux": mcux, "mcuy": mcuy,
+            "hmax": hmax, "vmax": vmax}
+
+
+def _decode_prog_scan(data, frame, scan, ss, se, ah, al, prog, huff, ri):
+    """One progressive scan (T.81 Annex G decode procedures): DC first /
+    DC refinement (interleaved or single-component), AC first with EOB
+    runs, AC refinement with correction bits."""
+    br = _BitReader(data)
+    comps_all = frame["comps"]
+    coeffs = prog["coeffs"]
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        preds = [0] * len(scan)
+        units = []  # (scan_idx, ci, by, bx) in decode order, unit-grouped
+        if len(scan) > 1:  # interleaved: MCU order
+            for my in range(prog["mcuy"]):
+                for mx in range(prog["mcux"]):
+                    unit = []
+                    for si, (c, _, _) in enumerate(scan):
+                        ci = comps_all.index(c)
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                unit.append((si, ci, my * c["v"] + by,
+                                             mx * c["h"] + bx))
+                    units.append(unit)
+        else:
+            c = scan[0][0]
+            ci = comps_all.index(c)
+            units = [[(0, ci, by, bx)]
+                     for by in range(c["nbh"]) for bx in range(c["nbw"])]
+        for ui, unit in enumerate(units):
+            if ri and ui and ui % ri == 0:
+                br.sync_restart()
+                preds = [0] * len(scan)
+            for si, ci, by, bx in unit:
+                if ah == 0:
+                    s = _huff_read(br, huff[(0, scan[si][1])])
+                    preds[si] += _extend(br.receive(s), s)
+                    coeffs[ci][by, bx, 0] = preds[si] << al
+                elif br.read_bit():
+                    coeffs[ci][by, bx, 0] = int(coeffs[ci][by, bx, 0]) | (1 << al)
+        return
+    # AC scan: single component, non-interleaved (T.81 G.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must have one component")
+    if not (0 < ss <= se <= 63):
+        raise ValueError("bad progressive spectral band")
+    comp, _, ta = scan[0]
+    ci = comps_all.index(comp)
+    ac_tbl = huff[(1, ta)]
+    arr = coeffs[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for by in range(comp["nbh"]):
+        for bx in range(comp["nbw"]):
+            if ri and unit and unit % ri == 0:
+                br.sync_restart()
+                eobrun = 0
+            unit += 1
+            blk = arr[by, bx]
+            if ah == 0:  # AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_read(br, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("progressive AC index overflow")
+                    blk[k] = _extend(br.receive(s), s) << al
+                    k += 1
+                continue
+            # AC refinement scan
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_read(br, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:  # EOBn: run includes this block
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    elif s == 1:
+                        val = p1 if br.read_bit() else m1
+                    else:
+                        raise ValueError("bad progressive refinement code")
+                    # advance past r zero-history coefficients, applying
+                    # correction bits to nonzero ones crossed on the way
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if br.read_bit() and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val != 0 and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                # end-of-band: correction bits for remaining nonzeros
+                while k <= se:
+                    cur = int(blk[k])
+                    if cur != 0 and br.read_bit() and (cur & p1) == 0:
+                        blk[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _prog_reconstruct(frame, prog, qts) -> np.ndarray:
+    comps = frame["comps"]
+    natural = []
+    for ci, c in enumerate(comps):
+        zz = prog["coeffs"][ci]
+        nat = np.zeros(zz.shape, np.float64)
+        nat[..., ZIGZAG] = zz
+        natural.append(nat.reshape(zz.shape[0], zz.shape[1], 8, 8))
+    return _render(frame, comps, natural, qts, prog["hmax"], prog["vmax"])
 
 
 def _jpeg_encode_420(img: np.ndarray, quality: int = 85) -> bytes:

@@ -105,12 +105,13 @@ def decode_media(media: DataFrame, fake: bool = False,
     """Decode media bytes → typed metadata.
 
     Default is the REAL decode path: PNG via the stdlib-zlib numpy codec,
-    baseline JPEG via the from-spec T.81 codec (``kernels/jpeg.py``, round
+    baseline AND progressive JPEG via the from-spec T.81 codec
+    (``kernels/jpeg.py``, round
     4) — width/height + mean decoded luma for both — WAV PCM16 via the
     RIFF parser (duration from sample count / rate), and (Geo)TIFF incl.
     BigTIFF via ``kernels/tiff.py`` (width/height + nodata/NaN-excluded
     mean). Formats with no
-    implemented decoder (progressive JPEG, MP3, video) raise
+    implemented decoder (MP3, video, arithmetic-coded JPEG) raise
     ``NotImplementedError`` — honestly stubbed, PIL/ffmpeg are not in this
     container. ``fake=True`` derives metadata from raw bytes without
     decoding (plumbing-only tests).

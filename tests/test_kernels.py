@@ -762,15 +762,42 @@ def test_jpeg_unsupported_and_malformed_raise():
 
     with pytest.raises(ValueError):
         jpeg_decode(b"\x00\x01not a jpeg")
-    # progressive frame marker (SOF2) → loud unsupported error
+    # arithmetic-coded frame marker (SOF9) → loud unsupported error
     g = np.zeros((8, 8), dtype=np.uint8)
     buf = bytearray(jpeg_encode(g, 85))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    buf[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF9"):
         jpeg_decode(bytes(buf))
     with pytest.raises(ValueError):
         jpeg_decode(b"\xff\xd8\xff\xe0\x00\x00garbage")
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive (SOF2) decode, T.81 Annex G: the same quantized
+    coefficients entropy-coded with spectral selection + successive
+    approximation (DC Al 1→0, AC bands at Al 2→1→0, EOB runs, refinement
+    correction bits) must decode to EXACTLY the baseline path's pixels —
+    a completely different entropy coding is the cross-check."""
+    from geopull_spark.kernels.jpeg import (jpeg_decode, jpeg_encode,
+                                            jpeg_encode_progressive)
+
+    rng = np.random.RandomState(7)
+    cases = []
+    for hh, ww, q in [(9, 9, 30), (24, 40, 85), (56, 33, 95), (64, 64, 60)]:
+        grad = np.clip(np.outer(np.linspace(0, 255, hh), np.ones(ww))
+                       + rng.randn(hh, ww) * 25, 0, 255).astype(np.uint8)
+        cases.append((grad, q))
+        cases.append((rng.randint(0, 256, size=(hh, ww, 3)).astype(np.uint8), q))
+    for img, q in cases:
+        prog = jpeg_encode_progressive(img, q)
+        # 8 scans for grayscale, 20 for RGB (DC first/refine + 2 AC bands
+        # per component at Al 2→1→0)
+        assert b"\xff\xc2" in prog
+        assert prog.count(b"\xff\xda\x00") >= (8 if img.ndim == 2 else 20)
+        got = jpeg_decode(prog)
+        want = jpeg_decode(jpeg_encode(img, q))
+        assert np.array_equal(got, want), (img.shape, q)
 
 
 def test_jpeg_multiscan_baseline_raises():
@@ -840,13 +867,15 @@ def test_media_decode_fuzz_clean_errors():
     at EOF and the MCU loop is count-bounded)."""
     import time
 
-    from geopull_spark.kernels.jpeg import jpeg_decode, jpeg_encode
+    from geopull_spark.kernels.jpeg import (jpeg_decode, jpeg_encode,
+                                            jpeg_encode_progressive)
     from geopull_spark.kernels.png import png_decode, png_encode, wav_decode, wav_encode
 
     g = np.outer(np.linspace(0, 255, 24), np.ones(32)).astype(np.uint8)
     rgb = np.stack([g, g[::-1], np.full_like(g, 70)], axis=-1)
     fixtures = {
         "jpeg": (jpeg_encode(rgb, 85), jpeg_decode),
+        "jpeg_prog": (jpeg_encode_progressive(rgb, 85), jpeg_decode),
         "png": (png_encode(g, filter_type=2), png_decode),
         "wav": (wav_encode(np.arange(-300, 300, dtype=np.int16), rate=8000), wav_decode),
     }
