@@ -252,6 +252,64 @@ def minhash_neardup_stream(doc_stream: DataFrame, text_col: str = "text",
     )
 
 
+def stream_geotiff_cells(spark: SparkSession, input_dir: str, res: int,
+                         max_files_per_trigger: int = 4) -> DataFrame:
+    """Streaming raster ingest: GeoTIFF tiles landing in ``input_dir`` →
+    running per-cell (value, n_px) totals.
+
+    Plan shape: ``binaryFile`` file-stream source (one row per NEW file per
+    trigger — the checkpoint remembers processed files, so a second trigger
+    decodes only the tiles that arrived since) → stateless ``mapInPandas``
+    doing the same in-kernel decode + per-chunk partial aggregation as the
+    batch reader → streaming groupBy(cell) whose state store carries one row
+    per cell. Use ``outputMode("complete"|"update")`` on the sink and
+    ``Trigger.AvailableNow`` to drain batch-style.
+
+    Scale note: the file source materializes each FILE as one row, so this
+    path is for streams of tile-sized GeoTIFFs (the COG-mosaic shape);
+    monolithic multi-GB rasters go through the batch byte-range reader
+    (``sources/raster.read_geotiff_cells``)."""
+    from ..kernels.tiff import tiff_parse_meta
+    from ..sources.raster import _CELLS_SCHEMA, _chunk_cells
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")  # binaryFile's fixed schema
+        .option("pathGlobFilter", "*.tif*")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+        .select("content")
+    )
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_c, out_s, out_n = [], [], []
+            for content in pdf["content"]:
+                b = bytes(content)
+                meta = tiff_parse_meta(b)
+                for idx, (off, cnt) in enumerate(
+                        zip(meta["offsets"], meta["counts"])):
+                    cells, sums, counts = _chunk_cells(
+                        meta, idx, b[off: off + cnt], res)
+                    out_c.append(cells)
+                    out_s.append(sums)
+                    out_n.append(counts)
+            yield pd.DataFrame({
+                "cell": np.concatenate(out_c) if out_c else np.zeros(0, np.int64),
+                "value": np.concatenate(out_s) if out_s else np.zeros(0),
+                "n_px": np.concatenate(out_n) if out_n else np.zeros(0, np.int64),
+            })
+
+    partial = raw.mapInPandas(decode, _CELLS_SCHEMA)
+    return partial.groupBy("cell").agg(
+        F.sum("value").alias("value"), F.sum("n_px").alias("n_px")
+    )
+
+
 def event_sessions(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Gap-based sessionization per user (SURVEY §2.9 stateful-operator

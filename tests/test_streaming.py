@@ -254,3 +254,56 @@ def test_minhash_neardup_stream_bucket_cap(spark, tmp_path):
            for r in spark.sql("SELECT doc_a, doc_b FROM cap_pairs").collect()}
     # star around first-seen d0: all-pairs among {d0,d1} then hub pairs only
     assert got == {("d0", f"d{i}") for i in range(1, 6)}
+
+
+def test_stream_geotiff_cells_matches_batch_and_incremental(spark, tmp_path):
+    """Streaming raster ingest: per-cell totals from the file stream must
+    equal the batch mosaic reader's; a second AvailableNow trigger on the
+    same checkpoint decodes only the newly-landed tile and the running
+    totals absorb it."""
+    import numpy as np
+
+    from geopull_spark.kernels.tiff import tiff_encode
+    from geopull_spark.sources.raster import read_geotiff_cells
+
+    rng = np.random.RandomState(21)
+    tiles_dir = tmp_path / "tiles"
+    tiles_dir.mkdir()
+    arrs, paths = [], []
+    for i in range(3):
+        a = rng.randint(0, 300, size=(40, 40)).astype(np.uint16)
+        arrs.append(a)
+        p = str(tiles_dir / f"t{i}.tif")
+        paths.append(p)
+        with open(p, "wb") as f:
+            f.write(tiff_encode(a, lon0=0.4 * i, lat0=1.0, px_lon=0.01,
+                                px_lat=0.01, compression=8))
+    res = 8
+
+    def run():
+        q = (ingest.stream_geotiff_cells(spark, str(tiles_dir), res)
+             .writeStream.format("memory").queryName("rcells")
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "r_ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return {r["cell"]: (r["value"], r["n_px"])
+                for r in spark.sql("SELECT * FROM rcells").collect()}
+
+    got = run()
+    want = {r["cell"]: (r["value"], r["n_px"])
+            for r in read_geotiff_cells(spark, paths, res).collect()}
+    assert got == want
+
+    # a fourth tile lands; same checkpoint → only the new file is decoded,
+    # totals now equal the 4-tile batch mosaic
+    a3 = rng.randint(0, 300, size=(40, 40)).astype(np.uint16)
+    p3 = str(tiles_dir / "t3.tif")
+    with open(p3, "wb") as f:
+        f.write(tiff_encode(a3, lon0=1.2, lat0=1.0, px_lon=0.01,
+                            px_lat=0.01, compression=8))
+    got2 = run()
+    want2 = {r["cell"]: (r["value"], r["n_px"])
+             for r in read_geotiff_cells(spark, paths + [p3], res).collect()}
+    assert got2 == want2 and got2 != got
