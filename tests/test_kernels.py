@@ -871,12 +871,18 @@ def test_media_decode_fuzz_clean_errors():
                                             jpeg_encode_progressive)
     from geopull_spark.kernels.png import png_decode, png_encode, wav_decode, wav_encode
 
+    from geopull_spark.kernels.gif import gif_decode, gif_encode
+
     g = np.outer(np.linspace(0, 255, 24), np.ones(32)).astype(np.uint8)
     rgb = np.stack([g, g[::-1], np.full_like(g, 70)], axis=-1)
+    _grng = np.random.RandomState(5)
     fixtures = {
         "jpeg": (jpeg_encode(rgb, 85), jpeg_decode),
         "jpeg_prog": (jpeg_encode_progressive(rgb, 85), jpeg_decode),
         "png": (png_encode(g, filter_type=2), png_decode),
+        "gif": (gif_encode(_grng.randint(0, 16, (24, 32)).astype(np.uint8),
+                           _grng.randint(0, 256, (16, 3)).astype(np.uint8),
+                           interlace=True, gce=True), gif_decode),
         "wav": (wav_encode(np.arange(-300, 300, dtype=np.int16), rate=8000), wav_decode),
     }
     rng = np.random.RandomState(42)
@@ -1170,3 +1176,44 @@ def test_tiff_overviews_cog():
         assert np.array_equal(full, arr) and meta0["width"] == 48
     # no-overview files: chain of one
     assert len(tiff_parse_overviews(tiff_encode(arr, 0, 1, 0.1, 0.1))) == 1
+
+
+def test_gif_codec():
+    """GIF87a/89a: LZW wire golden pins the LSB-first width-bump convention,
+    image roundtrips across palettes/interlace/extensions, table-overflow
+    restart, error paths."""
+    import pytest
+
+    from geopull_spark.kernels.gif import (gif_decode, gif_encode,
+                                           gif_lzw_decode, gif_lzw_encode)
+
+    # hand-derived golden, mcs=2 (clear=4, eoi=5), pixels 0 1 2 0 1 2:
+    # codes (4,w3)(0,w3)(1,w3)(2,w3) — entry 8 = 2^3 assigned here, width
+    # bumps — (6,w4)(2,w4)(5,w4); LSB-first packing → 44 64 52
+    data = bytes([0, 1, 2, 0, 1, 2])
+    assert gif_lzw_encode(data, 2) == bytes([0x44, 0x64, 0x52])
+    assert gif_lzw_decode(bytes([0x44, 0x64, 0x52]), 2, max_out=6) == data
+
+    rng = np.random.RandomState(3)
+    # table-overflow restart: 50k random bytes force >4096 entries
+    big = bytes(rng.randint(0, 256, 50000).tolist())
+    assert gif_lzw_decode(gif_lzw_encode(big, 8), 8, max_out=len(big)) == big
+
+    for trial in range(4):
+        h, w = rng.randint(5, 90), rng.randint(5, 90)
+        n = int(rng.choice([2, 7, 64, 256]))
+        pal = rng.randint(0, 256, size=(n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, size=(h, w)).astype(np.uint8)
+        for interlace in (False, True):
+            for gce in (False, True):
+                buf = gif_encode(idx, pal, interlace=interlace, gce=gce)
+                assert np.array_equal(gif_decode(buf), pal[idx]), \
+                    (trial, interlace, gce)
+
+    with pytest.raises(ValueError):
+        gif_decode(b"GIF90a" + b"\x00" * 20)  # bad signature
+    with pytest.raises(ValueError):
+        gif_decode(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # no image data
+    ok = gif_encode(np.zeros((4, 4), np.uint8), np.zeros((2, 3), np.uint8))
+    with pytest.raises(ValueError):  # truncated mid color table
+        gif_decode(ok[:14])

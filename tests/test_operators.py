@@ -790,6 +790,31 @@ def test_decode_media_tiff_real(spark):
     assert rows["mX"]["status"] == "error" and rows["mX"]["width"] is None
 
 
+def test_decode_media_gif_real(spark):
+    """GIF media rows route through the from-spec GIF codec: exact dims,
+    palette-derived Rec.601 mean luma, corrupt GIF quarantined."""
+    import numpy as np
+    from geopull_spark.kernels.gif import gif_encode
+
+    rng = np.random.RandomState(8)
+    pal = rng.randint(0, 256, (32, 3)).astype(np.uint8)
+    idx = rng.randint(0, 32, (20, 28)).astype(np.uint8)
+    buf = gif_encode(idx, pal, interlace=True, gce=True)
+    media = spark.createDataFrame(
+        [("mG", "d0", "image", bytearray(buf)),
+         ("mX", "d0", "image", bytearray(buf[:20]))],
+        "media_ref string, doc_id string, kind string, content binary",
+    )
+    rows = {r["media_ref"]: r
+            for r in multimodal.decode_media(media, on_error="skip").collect()}
+    img = pal[idx]
+    want = float(np.round((0.299 * img[..., 0].astype(np.float64)
+                           + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean(), 6))
+    assert (rows["mG"]["width"], rows["mG"]["height"]) == (28, 20)
+    assert rows["mG"]["mean_luma"] == pytest.approx(want, abs=1e-6)
+    assert rows["mX"]["status"] == "error" and rows["mX"]["width"] is None
+
+
 def test_pip_rect_assign_matches_integer_truth(spark):
     """The full J7 machinery (cover index + cell join + PIP refine kernel)
     against rectangle zones must equal pure integer interval arithmetic on
