@@ -178,6 +178,25 @@ def ivf_fit_centroids(emb: DataFrame, dim: int, n_centroids: int = 16,
     return cents
 
 
+def save_centroids(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist a fitted IVF coarse quantizer as a tiny (cid, vector) parquet
+    table — fit once on a corpus batch, then every later query batch probes
+    the SAME inverted-list layout (assignments stay stable, so the vectors
+    table keyed by cid never needs re-quantizing). k×dim doubles: driver- and
+    file-size trivial at any corpus scale."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cid int, vector array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path).collect()
+    out: dict[int, list[float]] = {r["cid"]: list(r["vector"]) for r in rows}
+    if sorted(out) != list(range(len(out))) or not out:
+        raise ValueError(f"centroid table at {path} has gaps or is empty")
+    return [out[i] for i in range(len(out))]
+
+
 def _unit(c: list[float]) -> list[float]:
     n = sum(x * x for x in c) ** 0.5 or 1.0
     return [x / n for x in c]

@@ -403,6 +403,28 @@ def test_ivf_recall_vs_brute(spark):
     assert sum(sizes[:8]) < 0.6 * n_total
 
 
+def test_ivf_centroid_persistence(spark, tmp_path):
+    """Fit-once/serve-many: centroids saved to a parquet table and reloaded
+    must reproduce the IVF result exactly (same inverted-list layout)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    dim = len(e.head()["embedding"])
+    cents = similarity.ivf_fit_centroids(e, dim, n_centroids=8, n_iters=2)
+    p = str(tmp_path / "cents")
+    similarity.save_centroids(spark, cents, p)
+    loaded = similarity.load_centroids(spark, p)
+    assert loaded == [[float(x) for x in c] for c in cents]
+    q = e.filter(F.col("vec_id") < 2).select(F.col("vec_id").alias("q_id"),
+                                             "embedding")
+    base = e.filter(F.col("vec_id") >= 2)
+    a = similarity.ivf_cosine_topk(base, q, dim=dim, k=5, n_probe=3,
+                                   centroids=cents).collect()
+    b = similarity.ivf_cosine_topk(base, q, dim=dim, k=5, n_probe=3,
+                                   centroids=loaded).collect()
+    key = lambda r: (r["q_id"], r["rk"])
+    assert sorted(((r["q_id"], r["rk"], r["vec_id"]) for r in a)) == \
+           sorted(((r["q_id"], r["rk"], r["vec_id"]) for r in b))
+
+
 def test_ivf_adaptive_probe_min_candidates(spark):
     """min_candidates: skewed inverted lists underfill a fixed n_probe=1
     query; the adaptive prefix extends probing until the probed lists hold
