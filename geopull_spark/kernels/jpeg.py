@@ -318,7 +318,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
-def jpeg_encode_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 85,
+                            restart_interval: int = 0) -> bytes:
     """Progressive JFIF (SOF2) encoder: spectral selection + successive
     approximation per T.81 Annex G (DC Al 1→0; AC bands [1,5] and [6,63]
     at Al 2→1→0), standard Annex K tables, EOB runs of length 1, grayscale
@@ -358,33 +359,62 @@ def jpeg_encode_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     ac_tabs = [_huff_code_table(*HUFF_AC_LUMA)] + \
         [_huff_code_table(*HUFF_AC_CHROMA)] * (ncomp - 1)
 
+    ri = max(restart_interval, 0)
+
+    class _ScanWriter:
+        """BitWriter that flushes + emits RSTn every ``ri`` units."""
+
+        def __init__(self):
+            self.bw = _BitWriter()
+            self.done = bytearray()
+            self.unit = 0
+            self.rst = 0
+
+        def next_unit(self) -> bool:
+            restarted = False
+            if ri and self.unit and self.unit % ri == 0:
+                self.bw.flush()
+                self.done += self.bw.out + bytes([0xFF, 0xD0 + (self.rst & 7)])
+                self.rst += 1
+                self.bw = _BitWriter()
+                restarted = True
+            self.unit += 1
+            return restarted
+
+        def finish(self) -> bytes:
+            self.bw.flush()
+            return bytes(self.done + self.bw.out)
+
     def dc_first(al: int) -> bytes:
-        bw = _BitWriter()
+        sw = _ScanWriter()
         preds = [0] * ncomp
         for m in range(nb):
+            if sw.next_unit():
+                preds = [0] * ncomp
             for ci in range(ncomp):
                 dc = int(coeffs[ci][m, 0]) >> al  # arithmetic shift (G.1.2.1)
                 size, pat = _magnitude(dc - preds[ci])
                 preds[ci] = dc
                 code, ln = dc_tabs[ci][size]
-                bw.write(code, ln)
+                sw.bw.write(code, ln)
                 if size:
-                    bw.write(pat, size)
-        bw.flush()
-        return bytes(bw.out)
+                    sw.bw.write(pat, size)
+        return sw.finish()
 
     def dc_refine(al: int) -> bytes:
-        bw = _BitWriter()
+        sw = _ScanWriter()
         for m in range(nb):
+            sw.next_unit()
             for ci in range(ncomp):
-                bw.write((int(coeffs[ci][m, 0]) >> al) & 1, 1)
-        bw.flush()
-        return bytes(bw.out)
+                sw.bw.write((int(coeffs[ci][m, 0]) >> al) & 1, 1)
+        return sw.finish()
 
     def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
-        bw = _BitWriter()
+        sw = _ScanWriter()
         ac = ac_tabs[ci]
         for m in range(nb):
+            sw.next_unit()
+            bw = sw.bw
             run = 0
             for k in range(ss, se + 1):
                 v = int(coeffs[ci][m, k])
@@ -405,16 +435,17 @@ def jpeg_encode_progressive(img: np.ndarray, quality: int = 85) -> bytes:
             if run:  # trailing zeros → EOB (run of exactly 1 block)
                 code, ln = ac[0x00]
                 bw.write(code, ln)
-        bw.flush()
-        return bytes(bw.out)
+        return sw.finish()
 
     def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
         # correction bits must land exactly where the decoder CROSSES their
         # coefficient (during a ZRL 16-zero advance, an RS zero-run advance,
         # or the final EOB sweep) — so simulate the decoder's band pointer
-        bw = _BitWriter()
+        sw = _ScanWriter()
         ac = ac_tabs[ci]
         for m in range(nb):
+            sw.next_unit()
+            bw = sw.bw
             band = [int(v) for v in coeffs[ci][m, ss:se + 1]]
             absv = [abs(v) >> al for v in band]
             last = len(band) - 1
@@ -450,8 +481,7 @@ def jpeg_encode_progressive(img: np.ndarray, quality: int = 85) -> bytes:
                 for i in range(p, last + 1):
                     if absv[i] != 0:
                         bw.write(absv[i] & 1, 1)
-        bw.flush()
-        return bytes(bw.out)
+        return sw.finish()
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -467,6 +497,8 @@ def jpeg_encode_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
         out += bytes(bits) + bytes(values)
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
 
     def emit_scan(comp_idxs, ss, se, ah, al, body: bytes) -> None:
         out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idxs),

@@ -798,6 +798,13 @@ def test_jpeg_progressive_bit_identical_to_baseline():
         got = jpeg_decode(prog)
         want = jpeg_decode(jpeg_encode(img, q))
         assert np.array_equal(got, want), (img.shape, q)
+    # restart markers inside progressive scans: DC preds + EOB runs resync
+    img, q = cases[3]
+    want = jpeg_decode(jpeg_encode(img, q))
+    for ri in (1, 3):
+        buf = jpeg_encode_progressive(img, q, restart_interval=ri)
+        assert b"\xff\xdd" in buf and b"\xff\xd0" in buf
+        assert np.array_equal(jpeg_decode(buf), want), ri
 
 
 def test_jpeg_multiscan_baseline_raises():
