@@ -7,10 +7,14 @@ parse — so image and audio decode can be genuinely real for these two
 formats. Anything else (JPEG, MP3, video containers) stays behind the
 documented decode stub.
 
-Supported PNG subset: 8-bit depth, color types 0 (gray), 2 (RGB) and
-6 (RGBA), no interlacing, all five scanline filters (None/Sub/Up/Average/
-Paeth). That subset is what the encoder emits and is the common fast path
-of real-world PNGs.
+Supported PNG subset (late round 5 — the real-crawl shapes): color types
+0 (gray), 2 (RGB), 3 (palette) and 6 (RGBA); bit depths 1/2/4/8 for
+gray+palette and 8/16 for gray/RGB/RGBA (16-bit returns the high byte —
+preview semantics); Adam7 interlacing; all five scanline filters
+(None/Sub/Up/Average/Paeth) applied at BYTE level with the pixel stride,
+per the spec. tRNS transparency is ignored (decode returns RGB/gray).
+``png_encode`` keeps its original 8-bit non-interlaced surface;
+``png_encode_full`` emits the wider shapes for fixtures.
 """
 
 from __future__ import annotations
@@ -85,6 +89,164 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out
 
 
+# Adam7: (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _row_bytes(pw: int, channels: int, depth: int) -> int:
+    return (pw * channels * depth + 7) // 8
+
+
+def _filter_rows(rows: np.ndarray, bpp: int, ftype: int) -> bytes:
+    """(ph, rb) uint8 sample rows → filtered scanlines (byte-level filters
+    with pixel stride ``bpp``, one filter byte per row)."""
+    ph, rb = rows.shape
+    out = bytearray()
+    prev = np.zeros(rb, np.int16)
+    for y in range(ph):
+        line = rows[y].astype(np.int16)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]]) \
+                if rb > bpp else np.zeros(rb, np.int16)
+            rec = (line - left) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (line - prev) & 0xFF
+        elif ftype == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]]) \
+                if rb > bpp else np.zeros(rb, np.int16)
+            rec = (line - (left + prev) // 2) & 0xFF
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]]) \
+                if rb > bpp else np.zeros(rb, np.int16)
+            ul = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]]) \
+                if rb > bpp else np.zeros(rb, np.int16)
+            rec = (line - _paeth(left, prev, ul)) & 0xFF
+        out.append(ftype)
+        out += rec.astype(np.uint8).tobytes()
+        prev = line
+    return bytes(out)
+
+
+def _unfilter_rows(raw: bytes, off: int, ph: int, rb: int, bpp: int) -> tuple[np.ndarray, int]:
+    """Filtered scanlines at ``off`` → ((ph, rb) uint8, bytes consumed)."""
+    need = ph * (1 + rb)
+    if off + need > len(raw):
+        raise ValueError("PNG IDAT shorter than its scanlines")
+    out = np.zeros((ph, rb), np.uint8)
+    prev = np.zeros(rb, np.int16)
+    pos = off
+    for y in range(ph):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, rb, pos).astype(np.int16)
+        pos += rb
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            rec = line.copy()
+            for x in range(rb):
+                left = rec[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    rec[x] = (line[x] + left) & 0xFF
+                elif ft == 3:
+                    rec[x] = (line[x] + (int(left) + int(prev[x])) // 2) & 0xFF
+                else:
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    rec[x] = (line[x] + _paeth(
+                        np.int16(left), prev[x], np.int16(ul))) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out, need
+
+
+def _unpack_samples(rows: np.ndarray, pw: int, channels: int, depth: int) -> np.ndarray:
+    """(ph, rb) filtered-out bytes → (ph, pw, channels) int array (raw
+    sample values, unscaled)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * channels].reshape(ph, pw, channels).astype(np.int64)
+    if depth == 16:
+        a = rows[:, : pw * channels * 2].reshape(ph, pw * channels, 2).astype(np.int64)
+        return ((a[..., 0] << 8) | a[..., 1]).reshape(ph, pw, channels)
+    bits = np.unpackbits(rows, axis=1)  # MSB-first, per spec
+    vals = bits[:, : pw * depth].reshape(ph, pw, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (vals * weights).sum(axis=2)[..., None].astype(np.int64)
+
+
+def _pack_samples(arr: np.ndarray, depth: int) -> np.ndarray:
+    """(ph, pw, channels) ints → (ph, rb) uint8 rows."""
+    ph, pw, ch = arr.shape
+    if depth == 8:
+        return arr.astype(np.uint8).reshape(ph, pw * ch)
+    if depth == 16:
+        a = arr.astype(np.uint16)
+        out = np.zeros((ph, pw * ch, 2), np.uint8)
+        out[..., 0] = (a >> 8).reshape(ph, pw * ch)
+        out[..., 1] = (a & 0xFF).reshape(ph, pw * ch)
+        return out.reshape(ph, pw * ch * 2)
+    vals = arr.reshape(ph, pw).astype(np.uint8)
+    weights = np.arange(depth - 1, -1, -1)
+    bits = ((vals[..., None] >> weights) & 1).reshape(ph, pw * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits.astype(np.uint8), axis=1)
+
+
+def png_encode_full(img: np.ndarray, palette: np.ndarray | None = None,
+                    depth: int = 8, interlace: bool = False,
+                    filter_type: int = 0) -> bytes:
+    """Wider-shape PNG writer for fixtures: palette (color type 3, depth
+    1/2/4/8), gray depth 1/2/4/8/16, RGB/RGBA depth 8/16, optional Adam7."""
+    if palette is not None:
+        palette = np.asarray(palette, np.uint8)
+        idx = np.asarray(img)
+        if idx.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+            raise ValueError("png_encode_full: palette needs (h,w) indices + (n,3)")
+        if depth not in (1, 2, 4, 8) or int(idx.max(initial=0)) >= min(len(palette), 1 << depth):
+            raise ValueError("png_encode_full: depth/index range invalid")
+        ctype, channels = 3, 1
+        arr = idx[:, :, None].astype(np.int64)
+        h, w = idx.shape
+    else:
+        a = np.asarray(img)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        h, w, channels = a.shape
+        ctype = {1: 0, 3: 2, 4: 6}[channels]
+        if depth == 16:
+            a = a.astype(np.uint16)
+        elif depth in (1, 2, 4):
+            if channels != 1 or int(a.max(initial=0)) >= (1 << depth):
+                raise ValueError("png_encode_full: sub-byte depth is gray-only")
+        elif depth != 8:
+            raise ValueError(f"png_encode_full: bad depth {depth}")
+        arr = a.astype(np.int64)
+    bpp = max(1, channels * depth // 8)
+    body = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body += _filter_rows(_pack_samples(sub, depth), bpp, filter_type)
+    else:
+        body += _filter_rows(_pack_samples(arr, depth), bpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(bytes(body), 6)) + _chunk(b"IEND", b"")
+
+
 def png_decode(buf: bytes) -> np.ndarray:
     """PNG bytes → (h, w, channels) uint8. Supports the subset documented in
     the module docstring; raises ValueError on anything else — including
@@ -103,6 +265,7 @@ def _png_decode_impl(buf: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     idat = bytearray()
+    plte = None
     w = h = None
     ctype = depth = interlace = None
     while pos < len(buf):
@@ -120,50 +283,50 @@ def _png_decode_impl(buf: bytes) -> np.ndarray:
             if ln < 13:
                 raise ValueError("truncated PNG IHDR")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError("PNG PLTE not a multiple of 3")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or ctype not in _CHANNELS or interlace != 0:
+    ok_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 6: (8, 16)}
+    if ctype not in ok_depths or depth not in ok_depths[ctype] or interlace not in (0, 1):
         raise ValueError(f"unsupported PNG (depth={depth} color={ctype} interlace={interlace})")
-    c = _CHANNELS[ctype]
-    raw = zlib.decompress(bytes(idat))
-    stride = w * c
-    if len(raw) != h * (stride + 1):
+    if ctype == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    channels = 1 if ctype == 3 else _CHANNELS[ctype]
+    bpp = max(1, channels * depth // 8)
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG zlib stream: {e}") from None
+    samples = np.zeros((h, w, channels), np.int64)
+    off = 0
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rb = _row_bytes(pw, channels, depth)
+        rows, used = _unfilter_rows(raw, off, ph, rb, bpp)
+        off += used
+        samples[y0::dy, x0::dx] = _unpack_samples(rows, pw, channels, depth)
+    if off != len(raw):
         raise ValueError("PNG IDAT length mismatch")
-    img = np.zeros((h, w, c), dtype=np.uint8)
-    prev = np.zeros((w, c), dtype=np.uint8)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).reshape(w, c).astype(np.int16)
-        if ft == 0:
-            rec = line
-        elif ft == 1:  # Sub — sequential in x
-            rec = line.copy()
-            for x in range(1, w):
-                rec[x] = (rec[x] + rec[x - 1]) & 0xFF
-        elif ft == 2:  # Up
-            rec = (line + prev) & 0xFF
-        elif ft == 3:  # Average
-            rec = line.copy()
-            for x in range(w):
-                left = rec[x - 1] if x > 0 else np.zeros(c, np.int16)
-                rec[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            rec = line.copy()
-            for x in range(w):
-                left = rec[x - 1] if x > 0 else np.zeros(c, np.int16)
-                ul = prev[x - 1].astype(np.int16) if x > 0 else np.zeros(c, np.int16)
-                rec[x] = (line[x] + _paeth(left, prev[x].astype(np.int16), ul)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter {ft}")
-        img[y] = rec.astype(np.uint8)
-        prev = img[y]
-    return img
+    if ctype == 3:
+        if int(samples.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index beyond PLTE")
+        return plte[samples[..., 0]]  # (h, w, 3) uint8
+    if depth == 16:
+        return (samples >> 8).astype(np.uint8)
+    if depth < 8:  # gray: scale to full range (255 / (2^d - 1) is integral)
+        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return samples.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -890,6 +890,11 @@ def test_media_decode_fuzz_clean_errors():
         "gif": (gif_encode(_grng.randint(0, 16, (24, 32)).astype(np.uint8),
                            _grng.randint(0, 256, (16, 3)).astype(np.uint8),
                            interlace=True, gce=True), gif_decode),
+        "png_pal_adam7": (__import__(
+            "geopull_spark.kernels.png", fromlist=["png_encode_full"]
+        ).png_encode_full(_grng.randint(0, 16, (24, 32)).astype(np.uint8),
+                          palette=_grng.randint(0, 256, (16, 3)).astype(np.uint8),
+                          depth=4, interlace=True, filter_type=4), png_decode),
         "wav": (wav_encode(np.arange(-300, 300, dtype=np.int16), rate=8000), wav_decode),
     }
     rng = np.random.RandomState(42)
@@ -1224,3 +1229,49 @@ def test_gif_codec():
     ok = gif_encode(np.zeros((4, 4), np.uint8), np.zeros((2, 3), np.uint8))
     with pytest.raises(ValueError):  # truncated mid color table
         gif_decode(ok[:14])
+
+
+def test_png_extended_shapes():
+    """Real-crawl PNG shapes: palette 1/2/4/8-bit, sub-byte gray, 16-bit
+    gray/RGB (high-byte preview), RGBA, Adam7 interlace, all byte-level
+    filters; legacy 8-bit surface unchanged."""
+    import pytest
+
+    from geopull_spark.kernels.png import png_decode, png_encode, png_encode_full
+
+    rng = np.random.RandomState(6)
+    g = rng.randint(0, 256, (20, 30)).astype(np.uint8)
+    for ft in range(5):  # legacy path untouched
+        assert np.array_equal(png_decode(png_encode(g, filter_type=ft))[:, :, 0], g)
+
+    for depth in (1, 2, 4, 8):
+        idx = rng.randint(0, 1 << depth, (19, 27)).astype(np.uint8)
+        pal = rng.randint(0, 256, (1 << depth, 3)).astype(np.uint8)
+        for il in (False, True):
+            for ft in (0, 1, 4):
+                buf = png_encode_full(idx, palette=pal, depth=depth,
+                                      interlace=il, filter_type=ft)
+                assert np.array_equal(png_decode(buf), pal[idx]), (depth, il, ft)
+
+    for depth in (1, 2, 4):
+        gq = rng.randint(0, 1 << depth, (23, 17)).astype(np.uint8)
+        got = png_decode(png_encode_full(gq, depth=depth, interlace=True,
+                                         filter_type=2))
+        want = (gq.astype(np.int64) * (255 // ((1 << depth) - 1)))
+        assert np.array_equal(got, want.astype(np.uint8)[:, :, None]), depth
+
+    rgb16 = rng.randint(0, 65536, (9, 31, 3)).astype(np.uint16)
+    for il in (False, True):
+        got = png_decode(png_encode_full(rgb16, depth=16, interlace=il,
+                                         filter_type=4))
+        assert np.array_equal(got, (rgb16 >> 8).astype(np.uint8)), il
+    rgba = rng.randint(0, 256, (14, 14, 4)).astype(np.uint8)
+    assert np.array_equal(
+        png_decode(png_encode_full(rgba, interlace=True, filter_type=1)), rgba)
+
+    # paletted stream with no PLTE / index beyond PLTE → clean errors
+    buf = png_encode_full(np.zeros((4, 4), np.uint8),
+                          palette=np.zeros((2, 3), np.uint8), depth=8)
+    no_plte = buf.replace(b"PLTE", b"pLTe")
+    with pytest.raises(ValueError):
+        png_decode(no_plte)
