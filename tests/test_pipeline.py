@@ -473,3 +473,45 @@ def test_copart_assignment_plan_identical(spark, world):
     finally:
         _os.environ.pop("GEOPULL_ASSIGN_PLAN", None)
     assert legacy == copart and len(legacy) > 0
+
+
+def test_manifest_file_pruning_read_range(spark, tmp_path):
+    """Iceberg-style data skipping: per-file min/max from parquet footers
+    recorded at commit; a range-clustered table answers a needle range from
+    a strict subset of files with results identical to the full scan."""
+    from pyspark.sql import functions as F
+
+    from geopull_spark.sources.manifest import SnapshotTable
+
+    df = spark.range(0, 10000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.format_string("s%05d", F.col("id")).alias("name"),
+    ).repartitionByRange(8, "k")  # clustered → disjoint per-file ranges
+    t = SnapshotTable(str(tmp_path / "pr"))
+    snap = t.commit(df, fingerprint="fp-prune")
+    assert snap["file_stats"], "footer stats were harvested"
+    some = next(iter(snap["file_stats"].values()))
+    assert "k" in some and "name" in some  # numeric + string stats
+
+    got = t.read_range(spark, "k", lo=2500, hi=2600).collect()
+    want = t.read(spark).filter(F.col("k").between(2500, 2600)).collect()
+    assert sorted(r["k"] for r in got) == sorted(r["k"] for r in want)
+    assert t.last_scan["files_read"] < t.last_scan["files_total"]
+    assert t.last_scan["files_total"] == 8
+
+    # out-of-range query: zero files read, empty frame with table schema
+    empty = t.read_range(spark, "k", lo=50000)
+    assert empty.count() == 0 and t.last_scan["files_read"] == 0
+    assert empty.columns == ["k", "v", "name"]
+
+    # string-column pruning, open-ended bound
+    got2 = t.read_range(spark, "name", lo="s09900")
+    assert got2.count() == 100 and t.last_scan["files_read"] == 1
+
+    # column without stats (array) → every file read, semantics unchanged
+    df2 = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.array(F.col("id")).alias("arr"))
+    t2 = SnapshotTable(str(tmp_path / "pr2"))
+    t2.commit(df2, fingerprint="fp2")
+    assert t2.read_range(spark, "k", lo=10, hi=20).count() == 11
