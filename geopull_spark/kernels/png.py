@@ -334,18 +334,41 @@ def _png_decode_impl(buf: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def wav_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
-    """int16 mono samples → RIFF/WAVE PCM bytes."""
-    samples = np.asarray(samples, dtype="<i2")
-    data = samples.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+def wav_encode(samples: np.ndarray, rate: int = 8000, bits: int = 16,
+               float32: bool = False) -> bytes:
+    """int16 mono samples → RIFF/WAVE bytes.
+
+    ``bits`` ∈ {8, 16, 24, 32} integer PCM (8-bit is unsigned per the RIFF
+    convention; wider depths carry the int16 samples shifted up), or
+    ``float32=True`` for IEEE-float fmt 3 — fixture coverage for the
+    decoder's real-crawl sample formats."""
+    s = np.asarray(samples, dtype="<i2")
+    if float32:
+        data = (s.astype(np.float32) / 32767.0).astype("<f4").tobytes()
+        afmt, bits = 3, 32
+    elif bits == 8:
+        data = (((s.astype(np.int32) >> 8) + 128).astype(np.uint8)).tobytes()
+        afmt = 1
+    elif bits == 16:
+        data, afmt = s.tobytes(), 1
+    elif bits == 24:
+        v = (s.astype(np.int32) << 8).astype("<i4").view(np.uint8).reshape(-1, 4)
+        data, afmt = v[:, :3].tobytes(), 1  # low 3 LE bytes
+    elif bits == 32:
+        data, afmt = (s.astype(np.int32) << 16).astype("<i4").tobytes(), 1
+    else:
+        raise ValueError(f"wav_encode: bits={bits} unsupported")
+    ba = bits // 8
+    fmt = struct.pack("<HHIIHH", afmt, 1, rate, rate * ba, ba, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 bytes → (samples int16, sample_rate). Malformed
+    """RIFF/WAVE bytes → (samples int16, sample_rate). PCM 8/16/24/32-bit
+    and IEEE float32 (fmt 3); multi-channel keeps channel 0; everything is
+    normalized to int16 (wider depths keep the high 16 bits). Malformed
     input raises a clean ValueError only (crawl-robustness, VERDICT r4 #4)."""
     try:
         return _wav_decode_impl(buf)
@@ -359,9 +382,9 @@ def _wav_decode_impl(buf: bytes) -> tuple[np.ndarray, int]:
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
-    rate = None
+    rate = audio_fmt = bits = None
     nch = 1
-    samples = None
+    data = None
     while pos + 8 <= len(buf):
         tag = buf[pos:pos + 4]
         (ln,) = struct.unpack("<I", buf[pos + 4:pos + 8])
@@ -373,12 +396,32 @@ def _wav_decode_impl(buf: bytes) -> tuple[np.ndarray, int]:
             if ln < 16:
                 raise ValueError("truncated WAV fmt chunk")
             audio_fmt, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", payload[:16])
-            if audio_fmt != 1 or bits != 16:
+            if (audio_fmt, bits) not in (
+                    (1, 8), (1, 16), (1, 24), (1, 32), (3, 32)):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
         elif tag == b"data":
-            samples = np.frombuffer(payload, dtype="<i2")
-    if rate is None or samples is None:
+            data = payload
+    if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    nch = max(nch, 1)
+    if audio_fmt == 3:  # IEEE float32 → int16
+        f = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+        f = np.nan_to_num(f, nan=0.0, posinf=1.0, neginf=-1.0)
+        samples = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif bits == 8:  # unsigned → centered int16
+        a = np.frombuffer(data, np.uint8).astype(np.int16)
+        samples = (a - 128) << 8
+    elif bits == 16:
+        samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    elif bits == 24:  # 3-byte LE, sign-extend, keep high 16 bits
+        a = np.frombuffer(data[: len(data) // 3 * 3], np.uint8).reshape(-1, 3)
+        v = (a[:, 0].astype(np.int32) | (a[:, 1].astype(np.int32) << 8)
+             | (a[:, 2].astype(np.int32) << 16))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = (v >> 8).astype(np.int16)
+    else:  # 32-bit PCM
+        samples = (np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
+                   >> 16).astype(np.int16)
     if nch > 1:
-        samples = samples.reshape(-1, nch)[:, 0].copy()
+        samples = samples[: len(samples) // nch * nch].reshape(-1, nch)[:, 0].copy()
     return samples, rate

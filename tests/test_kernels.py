@@ -1275,3 +1275,30 @@ def test_png_extended_shapes():
     no_plte = buf.replace(b"PLTE", b"pLTe")
     with pytest.raises(ValueError):
         png_decode(no_plte)
+
+
+def test_wav_sample_formats():
+    """WAV real-crawl sample formats: PCM 8/16/24/32-bit + IEEE float32,
+    all normalized to int16; 24/32-bit and float roundtrip exactly, 8-bit
+    keeps the high byte."""
+    from geopull_spark.kernels.png import wav_decode, wav_encode
+
+    rng = np.random.RandomState(12)
+    s = rng.randint(-32768, 32768, 400).astype(np.int16)
+    for bits in (16, 24, 32):
+        got, rate = wav_decode(wav_encode(s, rate=44100, bits=bits))
+        assert rate == 44100 and np.array_equal(got, s), bits
+    got, _ = wav_decode(wav_encode(s, bits=8))
+    assert np.array_equal(got, (s.astype(np.int32) >> 8 << 8).astype(np.int16))
+    got, _ = wav_decode(wav_encode(s, float32=True))
+    assert np.abs(got.astype(np.int32) - s.astype(np.int32)).max() <= 1
+
+    import pytest
+    with pytest.raises(ValueError):
+        wav_encode(s, bits=12)
+    # fmt 3 must be 32-bit; 12-bit PCM unsupported → loud errors
+    buf = bytearray(wav_encode(s, bits=16))
+    i = buf.find(b"fmt ")
+    buf[i + 22] = 12  # bits field
+    with pytest.raises(ValueError):
+        wav_decode(bytes(buf))
