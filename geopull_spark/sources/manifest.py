@@ -53,15 +53,33 @@ class SnapshotTable:
         fingerprint: str,
         partition_count_col: str | None = None,
         lineage: list[str] | None = None,
+        cluster_by: str | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict:
         """Write df as a new snapshot unless the current one already carries
-        ``fingerprint`` (idempotent resume). Returns the snapshot manifest."""
+        ``fingerprint`` (idempotent resume). Returns the snapshot manifest.
+
+        ``cluster_by``: range-partition + sort on that column before the
+        write, so per-file min/max ranges are disjoint — ``read_range``
+        then prunes to O(1) files for a needle query, and parquet row-group
+        stats inside each file are tight too.
+
+        ``bloom_cols``: write NATIVE parquet bloom filters for these columns
+        (writer options; built during the write, no extra pass). Any
+        engine's scan — Spark included — then skips row groups on equality
+        predicates over high-cardinality keys that min/max can't prune."""
         if self.is_current(fingerprint):
             return self.current_snapshot()
         prev = self.current_snapshot()
         sid = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.root, f"snap-{sid}")
-        df.write.mode("overwrite").parquet(data_dir)
+        if cluster_by is not None:
+            n = df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n, cluster_by).sortWithinPartitions(cluster_by)
+        writer = df.write.mode("overwrite")
+        for c in bloom_cols or []:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(data_dir)
         spark = df.sparkSession
         written = spark.read.parquet(data_dir)
         if partition_count_col and partition_count_col in written.columns:

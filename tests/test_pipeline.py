@@ -515,3 +515,38 @@ def test_manifest_file_pruning_read_range(spark, tmp_path):
     t2 = SnapshotTable(str(tmp_path / "pr2"))
     t2.commit(df2, fingerprint="fp2")
     assert t2.read_range(spark, "k", lo=10, hi=20).count() == 11
+
+
+def test_manifest_cluster_and_bloom(spark, tmp_path):
+    """cluster_by gives disjoint per-file ranges (needle range → 1 file);
+    bloom_cols writes native parquet bloom filters verifiable in the
+    footer metadata."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from geopull_spark.sources.manifest import SnapshotTable
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        F.format_string("u%08d", (F.col("id") * 2654435761) % 1000000007).alias("uid"),
+    )
+    t = SnapshotTable(str(tmp_path / "cb"))
+    t.commit(df, fingerprint="fp-cb", cluster_by="k", bloom_cols=["uid"])
+
+    got = t.read_range(spark, "k", lo=7000, hi=7010)
+    assert got.count() == 11
+    assert t.last_scan["files_read"] == 1 and t.last_scan["files_total"] > 1
+
+    # native bloom filters are inside the files: an identical commit
+    # without bloom_cols must be measurably smaller (pyarrow 16 doesn't
+    # expose bloom offsets, so pin the on-disk effect), and the data reads
+    # back identically
+    t2 = SnapshotTable(str(tmp_path / "cb2"))
+    t2.commit(df, fingerprint="fp-cb2", cluster_by="k")
+    size_bloom = sum(os.path.getsize(p) for p in t.data_files())
+    size_plain = sum(os.path.getsize(p) for p in t2.data_files())
+    assert size_bloom > size_plain + 1000
+    assert t.read(spark).count() == t2.read(spark).count() == 20000
+    _ = pq.ParquetFile(t.data_files()[0]).metadata  # footers stay readable
