@@ -149,6 +149,14 @@ def decode_media(media: DataFrame, fake: bool = False,
             samples, rate = wav_decode(b)
             dur = int(round(1000.0 * len(samples) / rate))
             return (kind, n, None, None, dur, None)
+        elif b[:2] == b"BM" and len(b) >= 54:
+            from ..kernels.bmp import bmp_decode
+
+            img = bmp_decode(b)
+            luma = (0.299 * img[..., 0].astype(np.float64)
+                    + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+            return (kind, n, img.shape[1], img.shape[0], None,
+                    float(np.round(luma.mean(), 6)))
         elif b[:6] in (b"GIF87a", b"GIF89a"):
             from ..kernels.gif import gif_decode
 
