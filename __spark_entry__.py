@@ -704,6 +704,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "rk", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM score per document (late round 5): add-k
+    smoothing over counts from the corpus itself — DuckDB retrains the SAME
+    model (identical tokenization regex, identical smoothing arithmetic)
+    and must reproduce every per-doc log-probability to 4 dp."""
+    from geopull_spark.operators.text import ngram_logprob
+
+    return ngram_logprob(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the adaptive probe-multiplicity knob (round 5):
     n_probe=1 but min_candidates=150, so each query's probe depth extends
@@ -894,6 +904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_adaptive": q_ann_ivf_adaptive,
+    "ngram_logprob": q_ngram_logprob,
 }
 
 
@@ -1082,6 +1093,33 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _brute_topk_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ann_ivf_adaptive": _ann_ivf_adaptive_oracle(),
+        "ngram_logprob": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            bi AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM (
+                SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                FROM t WHERE len(toks) >= 2)),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+            c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS v
+                  FROM (SELECT unnest(toks) AS w FROM t)),
+            scored AS (
+              SELECT bi.doc_id,
+                     ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS lp
+              FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+            per_doc AS (
+              SELECT doc_id, round(SUM(lp), 4) AS logprob,
+                     COUNT(*) AS n_bigrams
+              FROM scored GROUP BY 1)
+            SELECT t.doc_id,
+                   COALESCE(p.logprob, 0.0) AS logprob,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams
+            FROM t LEFT JOIN per_doc p USING (doc_id)
+        """,
         "embedding_neardup_lsh": """
             WITH v AS (SELECT vec_id, embedding FROM embeddings),
             pairs AS (

@@ -88,6 +88,47 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngram_logprob(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: float = 0.5) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    statistical half of training-data quality filtering (a doc scoring far
+    below its length-peers is boilerplate-ish or language-mismatched).
+
+    Fully declarative, no UDF: tokens via JVM regex split, bigrams via
+    zip_with over two slices, the model is two groupBy counts (add-k
+    smoothing: P(w2|w1) = (c12 + k) / (c1 + k·V)), scoring is one shuffle
+    equi-join on the bigram key + per-doc sum of logs. The vocab size joins
+    as a broadcast 1-row frame — no driver collect. At 10^12 docs every
+    stage is a partial-agg hash shuffle on token keys; skewed head words
+    are absorbed by AQE the same as any hot aggregation key."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    lambda x: x != F.lit(""))
+    t = docs.select(id_col, toks.alias("toks"))
+    n = F.size("toks")
+    pairs = F.zip_with(
+        F.slice("toks", 1, n - 1), F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (t.filter(n >= 2).select(id_col, F.explode(pairs).alias("bg"))
+          .select(id_col, "bg.w1", "bg.w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = t.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v"))
+    model = c12.join(c1, "w1").crossJoin(F.broadcast(vocab))
+    scored = bi.join(model, ["w1", "w2"]).select(
+        id_col,
+        F.log((F.col("c12") + F.lit(float(k)))
+              / (F.col("c1") + F.lit(float(k)) * F.col("v"))).alias("lp"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum("lp"), 4).alias("logprob"),
+        F.count("*").alias("n_bigrams"),
+    )
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .fillna({"logprob": 0.0, "n_bigrams": 0}))
+
+
 def doc_fingerprint(docs: DataFrame, k: int = 8, window: int = 4,
                     text_col: str = "text") -> DataFrame:
     """Winnowing-style fingerprint: min k-gram rolling hash per window,

@@ -969,3 +969,24 @@ def test_geotiff_distributed_reader_and_zonal(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_geotiff_cells(spark, cog, res, level=2)
+
+
+def test_ngram_logprob_properties(spark):
+    """Bigram LM scoring: short docs score 0/0; a doc repeating the
+    corpus's dominant bigram outscores (per bigram) one of hapax bigrams."""
+    from geopull_spark.operators.text import ngram_logprob
+
+    rows = [
+        (1, "the cat " * 30),              # dominant bigram
+        (2, "zq wx ev rk tn bm yu io"),    # all-hapax bigrams
+        (3, "single"),
+        (4, ""),
+    ]
+    out = {r["doc_id"]: r for r in ngram_logprob(
+        spark.createDataFrame(rows, "doc_id int, text string")).collect()}
+    assert out[3]["n_bigrams"] == 0 and out[3]["logprob"] == 0.0
+    assert out[4]["n_bigrams"] == 0 and out[4]["logprob"] == 0.0
+    mean1 = out[1]["logprob"] / out[1]["n_bigrams"]
+    mean2 = out[2]["logprob"] / out[2]["n_bigrams"]
+    assert mean1 > mean2  # common phrasing scores higher per bigram
+    assert out[1]["n_bigrams"] == 59 and out[2]["n_bigrams"] == 7
