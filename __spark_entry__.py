@@ -704,6 +704,46 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "rk", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_simplify value oracle: deterministic per-doc polylines whose
+    Douglas-Peucker outcome is closed-form — exactly-collinear lines
+    (integer-valued floats, deviation exactly 0) collapse to 2 points;
+    integer-parabola lines are strictly convex with every leaf-chord
+    deviation >= 0.049 against tol=0.001 (50x margin), so every vertex
+    survives. Point counts derive from WKB byte length ((len-9)/16) in
+    BOTH engines — the oracle predicts them from doc_id arithmetic alone."""
+    import pandas as pd
+
+    from geopull_spark.functions.geometry import st_simplify
+    from geopull_spark.kernels import wkb as wkbk
+
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringifies hints, which signature inference rejects
+    @F.pandas_udf("binary", PandasUDFType.SCALAR)
+    def make_line(doc_id):
+        import numpy as np
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            n = 5 + d % 7
+            x = np.arange(n, dtype=np.float64)
+            y = 2.0 * x if d % 3 == 0 else (x - (d % 5)) ** 2
+            out.append(wkbk.linestring(np.stack([x, y], axis=1)))
+        return pd.Series(out, dtype=object)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    lines = docs.withColumn("geom", make_line("doc_id"))
+    simp = lines.withColumn("simp", st_simplify(F.col("geom"), 0.001))
+    return simp.select(
+        "doc_id",
+        ((F.octet_length("geom") - 9) / 16).cast("int").alias("n_before"),
+        ((F.octet_length("simp") - 9) / 16).cast("int").alias("n_after"),
+    )
+
+
 def q_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM score per document (late round 5): add-k
     smoothing over counts from the corpus itself — DuckDB retrains the SAME
@@ -905,6 +945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_adaptive": q_ann_ivf_adaptive,
     "ngram_logprob": q_ngram_logprob,
+    "simplify_lines": q_simplify_lines,
 }
 
 
@@ -1093,6 +1134,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _brute_topk_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ann_ivf_adaptive": _ann_ivf_adaptive_oracle(),
+        "simplify_lines": """
+            SELECT doc_id,
+                   CAST(5 + doc_id % 7 AS INT) AS n_before,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2
+                             ELSE 5 + doc_id % 7 END AS INT) AS n_after
+            FROM documents
+        """,
         "ngram_logprob": """
             WITH t AS (
               SELECT doc_id,

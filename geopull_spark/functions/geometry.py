@@ -129,6 +129,28 @@ def st_cover_cells(wkb_col, res: int):
     return _cover(wkb_col)
 
 
+def st_simplify(wkb_col, tol: float):
+    """Douglas–Peucker simplification (non-topology-preserving, the GEOS
+    ``simplify`` shape): kept vertices are a subset of the input, endpoints
+    / ring closure preserved, every dropped vertex within ``tol`` of the
+    simplified line. Parts that collapse below a valid ring are dropped
+    (NULL when nothing survives). Arrow-batched, no per-row Python beyond
+    the numpy kernel."""
+
+    @pandas_udf(T.BinaryType())
+    def _simp(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for buf in wkbs:
+            if buf is None:
+                out.append(None)
+                continue
+            g = _pointops.simplify_geom(_wkb.loads(bytes(buf)), tol)
+            out.append(None if g is None else _wkb.dumps(g))
+        return pd.Series(out, dtype=object)
+
+    return _simp(wkb_col)
+
+
 def st_k_ring(cell_col, k: int = 1):
     @pandas_udf(T.ArrayType(T.LongType()))
     def _kr(cell: pd.Series) -> pd.Series:

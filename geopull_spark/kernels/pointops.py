@@ -187,3 +187,91 @@ def points_in_geoms(px: np.ndarray, py: np.ndarray, gid: np.ndarray,
     hits = px[pr] < xin
     crossings = np.bincount(pr[hits], minlength=n)
     return (crossings % 2).astype(bool)
+
+
+def dp_simplify(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker on an open polyline (n, 2): keep endpoints, keep any
+    vertex whose perpendicular distance to the current chord exceeds
+    ``tol``. Iterative stack (no recursion-depth limit); returns the kept
+    subset in original order — every dropped vertex is within ``tol`` of
+    the simplified line by construction."""
+    c = np.asarray(coords, np.float64)
+    n = len(c)
+    if n <= 2:
+        return c.copy()
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = c[i], c[j]
+        seg = b - a
+        pts = c[i + 1: j]
+        L2 = float(seg @ seg)
+        if L2 == 0.0:  # degenerate chord: plain distance to the point
+            d = np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
+        else:
+            d = np.abs((pts[:, 0] - a[0]) * seg[1] - (pts[:, 1] - a[1]) * seg[0]) \
+                / np.sqrt(L2)
+        m = int(np.argmax(d))
+        if d[m] > tol:
+            k = i + 1 + m
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return c[keep]
+
+
+def _simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray | None:
+    """Closed ring: anchor at vertex 0 and the farthest vertex from it (a
+    degenerate single chord would collapse everything), DP each half.
+    Returns None when the ring simplifies below a valid triangle."""
+    r = np.asarray(ring, np.float64)
+    if len(r) < 4:
+        return r.copy()
+    body = r[:-1]
+    d = np.hypot(body[:, 0] - body[0, 0], body[:, 1] - body[0, 1])
+    m = int(np.argmax(d))
+    if m == 0:  # all points coincide
+        return None
+    first = dp_simplify(np.vstack([body[: m + 1]]), tol)
+    second = dp_simplify(np.vstack([body[m:], body[:1]]), tol)
+    out = np.vstack([first, second[1:]])
+    if len(out) < 4:
+        return None
+    return out
+
+
+def simplify_geom(geom, tol: float):
+    """DP-simplify the tuple geometry model (non-topology-preserving, the
+    GEOS ``simplify`` shape): points unchanged; linestrings keep their
+    endpoints; polygon shells that collapse below a triangle yield None
+    (caller drops the part), collapsed holes are silently removed."""
+    gtype, payload = geom
+    if gtype == "Point":
+        return geom
+    if gtype == "LineString":
+        return (gtype, dp_simplify(np.asarray(payload), tol))
+    if gtype == "Polygon":
+        shell = _simplify_ring(np.asarray(payload[0]), tol)
+        if shell is None:
+            return None
+        rings = [shell]
+        for hole in payload[1:]:
+            hr = _simplify_ring(np.asarray(hole), tol)
+            if hr is not None:
+                rings.append(hr)
+        return (gtype, rings)
+    if gtype == "GeometryCollection":
+        kept = [g for g in (simplify_geom(ch, tol) for ch in payload) if g is not None]
+        return (gtype, kept) if kept else None
+    # Multi*
+    child = gtype[5:]
+    kept = []
+    for p in payload:
+        g = simplify_geom((child, p), tol)
+        if g is not None:
+            kept.append(g[1])
+    return (gtype, kept) if kept or child == "Point" else None

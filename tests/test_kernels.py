@@ -1343,3 +1343,58 @@ def test_bmp_codec():
         bmp_decode(bytes(rle))
     with pytest.raises(ValueError):
         bmp_decode(bmp_encode(rgb)[:100])  # truncated pixels
+
+
+def test_dp_simplify_properties():
+    """Douglas–Peucker: kept vertices are an ordered subset, endpoints
+    fixed, EVERY dropped vertex within tol of the simplified polyline,
+    collinear chains collapse to endpoints, rings stay closed and valid,
+    idempotent."""
+    from geopull_spark.kernels.pointops import dp_simplify, simplify_geom
+    from geopull_spark.kernels.wkb import dumps, loads
+
+    def max_dev(orig, simp):
+        # min distance of each original vertex to the simplified segments
+        worst = 0.0
+        for p in orig:
+            best = np.inf
+            for a, b in zip(simp[:-1], simp[1:]):
+                seg = b - a
+                L2 = seg @ seg
+                t = 0.0 if L2 == 0 else np.clip(((p - a) @ seg) / L2, 0, 1)
+                best = min(best, float(np.hypot(*(p - (a + t * seg)))))
+            worst = max(worst, best)
+        return worst
+
+    rng = np.random.RandomState(15)
+    for trial in range(8):
+        n = rng.randint(5, 200)
+        pts = np.cumsum(rng.randn(n, 2), axis=0)
+        tol = float(rng.choice([0.05, 0.3, 1.0, 5.0]))
+        s = dp_simplify(pts, tol)
+        assert np.array_equal(s[0], pts[0]) and np.array_equal(s[-1], pts[-1])
+        # ordered subset
+        idx = [np.flatnonzero((pts == v).all(axis=1))[0] for v in s]
+        assert idx == sorted(idx)
+        assert max_dev(pts, s) <= tol + 1e-9, (trial, tol)
+        assert np.array_equal(dp_simplify(s, tol), s)  # idempotent
+
+    line = np.array([[0, 0], [1, 0.0], [2, 0], [3, 0], [4, 0]], float)
+    assert len(dp_simplify(line, 1e-9)) == 2  # collinear → endpoints
+
+    # ring: noisy circle simplifies to a closed valid ring within tol
+    th = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    ring = np.stack([np.cos(th), np.sin(th)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    g = simplify_geom(("Polygon", [ring]), 0.05)
+    out = np.asarray(g[1][0])
+    assert np.array_equal(out[0], out[-1]) and 4 <= len(out) < len(ring)
+    assert max_dev(ring, out) <= 0.05 + 1e-9
+    # collapse: tiny triangle under a huge tol → whole polygon dropped
+    tri = np.array([[0, 0], [1e-6, 0], [0, 1e-6], [0, 0]], float)
+    assert simplify_geom(("Polygon", [tri]), 1.0) is None
+    # multipolygon: collapsed part dropped, survivor kept; WKB roundtrips
+    mp = ("MultiPolygon", [[ring], [tri]])
+    g2 = simplify_geom(mp, 0.05)
+    assert g2[0] == "MultiPolygon" and len(g2[1]) == 1
+    assert loads(dumps(g2))[0] == "MultiPolygon"
