@@ -38,8 +38,10 @@ def _bmp_decode_impl(buf: bytes) -> np.ndarray:
         "<HHIIiiII", buf, 26)
     if planes != 1:
         raise ValueError("bmp: planes != 1")
-    if comp != 0:
-        raise ValueError(f"bmp: compression {comp} not supported (BI_RGB only)")
+    if comp not in (0, 1):
+        raise ValueError(f"bmp: compression {comp} not supported (BI_RGB/RLE8)")
+    if comp == 1 and bpp != 8:
+        raise ValueError("bmp: BI_RLE8 requires 8-bit pixels")
     if bpp not in (1, 4, 8, 24, 32):
         raise ValueError(f"bmp: {bpp}-bit not supported")
     top_down = h < 0
@@ -54,6 +56,13 @@ def _bmp_decode_impl(buf: bytes) -> np.ndarray:
         if len(quads) < 4 * n:
             raise ValueError("bmp: truncated palette")
         pal = quads.reshape(n, 4)[:, [2, 1, 0]]  # BGRX → RGB
+    if comp == 1:  # BI_RLE8: (count, value) pairs + escapes (EOL/EOF/delta/abs)
+        if top_down:
+            raise ValueError("bmp: top-down RLE8 is invalid per the DIB spec")
+        idx = _decode_rle8(buf[data_off:], w, h)[::-1]  # stored bottom-up
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("bmp: pixel index beyond palette")
+        return pal[idx]
     stride = (w * bpp + 31) // 32 * 4  # rows padded to 4 bytes
     need = stride * h
     data = np.frombuffer(buf[data_off: data_off + need], np.uint8)
@@ -80,8 +89,61 @@ def _bmp_decode_impl(buf: bytes) -> np.ndarray:
     return pal[idx]
 
 
+def _decode_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 → (h, w) indices in STORED (bottom-up) row order. Escapes:
+    00 00 end-of-line, 00 01 end-of-bitmap, 00 02 dx dy cursor delta,
+    00 n>=3 absolute run of n literal bytes padded to a word boundary."""
+    grid = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    n_bytes = len(data)
+    while i + 1 < n_bytes:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            if y >= h or x + c > w:
+                raise ValueError("bmp: RLE8 run outside the image")
+            grid[y, x: x + c] = v
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return grid
+        elif v == 2:  # delta
+            if i + 2 > n_bytes:
+                raise ValueError("bmp: truncated RLE8 delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("bmp: RLE8 delta outside the image")
+        else:  # absolute mode: v literal bytes, word-aligned
+            if i + v > n_bytes or y >= h or x + v > w:
+                raise ValueError("bmp: RLE8 absolute run outside the image")
+            grid[y, x: x + v] = np.frombuffer(data[i: i + v], np.uint8)
+            i += v + (v & 1)
+            x += v
+    raise ValueError("bmp: RLE8 stream missing end-of-bitmap")
+
+
+def _encode_rle8(idx: np.ndarray) -> bytes:
+    """Fixture RLE8 writer: plain runs + EOL per stored row, EOF at end."""
+    out = bytearray()
+    for row in idx[::-1]:  # stored bottom-up
+        x, w = 0, len(row)
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            out += bytes([run, int(row[x])])
+            x += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
 def bmp_encode(img: np.ndarray, palette: np.ndarray | None = None,
-               bpp: int | None = None, top_down: bool = False) -> bytes:
+               bpp: int | None = None, top_down: bool = False,
+               rle8: bool = False) -> bytes:
     """RGB (h, w, 3) → 24-bit BMP, or palette indices (h, w) + (n, 3)
     palette → 1/4/8-bit BMP. Fixture writer."""
     if palette is not None:
@@ -112,14 +174,21 @@ def bmp_encode(img: np.ndarray, palette: np.ndarray | None = None,
         h, w = a.shape[:2]
         bpp, n, pal_bytes = 24, 0, b""
         rows = a[:, :, ::-1].reshape(h, w * 3)  # RGB → BGR
-    stride = (w * bpp + 31) // 32 * 4
-    padded = np.zeros((h, stride), np.uint8)
-    padded[:, : rows.shape[1]] = rows
-    if not top_down:
-        padded = padded[::-1]
-    data = padded.tobytes()
+    comp = 0
+    if rle8:
+        if palette is None or bpp != 8 or top_down:
+            raise ValueError("bmp_encode: rle8 needs an 8-bit bottom-up palette image")
+        data = _encode_rle8(rows)
+        comp = 1
+    else:
+        stride = (w * bpp + 31) // 32 * 4
+        padded = np.zeros((h, stride), np.uint8)
+        padded[:, : rows.shape[1]] = rows
+        if not top_down:
+            padded = padded[::-1]
+        data = padded.tobytes()
     data_off = 14 + 40 + len(pal_bytes)
     info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
-                       0, len(data), 2835, 2835, n, 0)
+                       comp, len(data), 2835, 2835, n, 0)
     hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
     return hdr + info + pal_bytes + data

@@ -1338,11 +1338,50 @@ def test_bmp_codec():
     with pytest.raises(ValueError):
         bmp_decode(b"BM" + b"\x00" * 60)  # zero dims
     rle = bytearray(bmp_encode(rgb))
-    rle[30] = 1  # BI_RLE8
-    with pytest.raises(ValueError, match="compression"):
+    rle[30] = 1  # BI_RLE8 flag on a 24-bit image is invalid
+    with pytest.raises(ValueError, match="RLE8"):
         bmp_decode(bytes(rle))
     with pytest.raises(ValueError):
         bmp_decode(bmp_encode(rgb)[:100])  # truncated pixels
+
+
+def test_bmp_rle8():
+    """BI_RLE8: run/EOL/EOF roundtrip through the fixture encoder, plus
+    hand-built delta and absolute-mode escapes with word padding."""
+    import struct as _s
+
+    import pytest
+
+    from geopull_spark.kernels.bmp import bmp_decode, bmp_encode
+
+    rng = np.random.RandomState(16)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    # runs-heavy image so RLE actually compresses
+    idx = np.repeat(rng.randint(0, 256, (17, 8)).astype(np.uint8), 4, axis=1)
+    buf = bmp_encode(idx, palette=pal, bpp=8, rle8=True)
+    assert len(buf) < len(bmp_encode(idx, palette=pal, bpp=8))  # it compresses
+    assert np.array_equal(bmp_decode(buf), pal[idx])
+
+    # hand-built stream: run, absolute mode (odd n → pad byte), delta skip
+    # (skipped pixels stay palette[0]), EOL, EOF
+    w, h = 10, 3
+    stream = bytes([4, 7]) + bytes([0, 3, 1, 2, 3, 0]) + bytes([0, 2, 2, 1]) \
+        + bytes([1, 9]) + bytes([0, 0]) + bytes([3, 5]) + bytes([0, 1])
+    pal_q = np.zeros((256, 4), np.uint8)
+    pal_q[:, [2, 1, 0]] = pal
+    data_off = 14 + 40 + len(pal_q.tobytes())
+    info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream), 0, 0, 256, 0)
+    hdr = b"BM" + _s.pack("<IHHI", data_off + len(stream), 0, 0, data_off)
+    got = bmp_decode(hdr + info + pal_q.tobytes() + stream)
+    grid = np.zeros((h, w), np.uint8)
+    grid[0, :4] = 7           # run
+    grid[0, 4:7] = [1, 2, 3]  # absolute (padded to word)
+    grid[1, 9] = 9            # delta dx=2, dy=1 → cursor (9, 1), run of 1
+    grid[2, :3] = 5           # after EOL
+    assert np.array_equal(got, pal[grid[::-1]])  # stored bottom-up
+
+    with pytest.raises(ValueError):  # missing EOF escape
+        bmp_decode(hdr + info + pal_q.tobytes() + bytes([4, 7]))
 
 
 def test_dp_simplify_properties():
