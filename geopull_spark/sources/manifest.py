@@ -97,12 +97,65 @@ class SnapshotTable:
             "fingerprint": fingerprint,
             "created_unix": int(time.time()),
             "data_dir": data_dir,
+            "files": _list_parquet(data_dir),
             "row_count": row_count,
             "partition_counts": counts,
             "schema": written.schema.jsonValue(),
             "lineage": lineage or [],
-            "operation": "append",
+            "operation": "overwrite",
             "file_stats": _harvest_file_stats(data_dir),
+        }
+        self._write_manifest(manifest)
+        return manifest
+
+    def append(
+        self,
+        df: DataFrame,
+        fingerprint: str,
+        lineage: list[str] | None = None,
+        cluster_by: str | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> dict:
+        """Iceberg append semantics: the new snapshot = the parent's data
+        files PLUS the batch's new files — nothing already on disk is
+        rewritten, so appending a daily batch to a 100 TB table costs only
+        the batch's own write. Per-file stats of the old files are carried
+        over verbatim (they're immutable), the new files are footer-
+        harvested, and ``read_range`` prunes across both. Idempotent on
+        ``fingerprint`` like commit()."""
+        if self.is_current(fingerprint):
+            return self.current_snapshot()
+        prev = self.current_snapshot()
+        if prev is None:
+            return self.commit(df, fingerprint, lineage=lineage,
+                               cluster_by=cluster_by, bloom_cols=bloom_cols)
+        sid = uuid.uuid4().hex[:12]
+        delta_dir = os.path.join(self.root, f"snap-{sid}")
+        if cluster_by is not None:
+            n = df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n, cluster_by).sortWithinPartitions(cluster_by)
+        writer = df.write.mode("overwrite")
+        for c in bloom_cols or []:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(delta_dir)
+        spark = df.sparkSession
+        delta_rows = spark.read.parquet(delta_dir).count()
+        prev_files = prev.get("files") or _list_parquet(prev["data_dir"])
+        stats = dict(prev.get("file_stats") or {})
+        stats.update(_harvest_file_stats(delta_dir))
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": prev["snapshot_id"],
+            "fingerprint": fingerprint,
+            "created_unix": int(time.time()),
+            "data_dir": delta_dir,
+            "files": prev_files + _list_parquet(delta_dir),
+            "row_count": prev["row_count"] + delta_rows,
+            "partition_counts": {},
+            "schema": prev["schema"],
+            "lineage": (prev.get("lineage") or []) + (lineage or []),
+            "operation": "append",
+            "file_stats": stats,
         }
         self._write_manifest(manifest)
         return manifest
@@ -121,7 +174,8 @@ class SnapshotTable:
         snap = self.current_snapshot()
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
-        return spark.read.parquet(snap["data_dir"])
+        files = snap.get("files")
+        return spark.read.parquet(*(files or [snap["data_dir"]]))
 
     def read_range(self, spark: SparkSession, col: str,
                    lo=None, hi=None, snapshot_id: str | None = None) -> DataFrame:
@@ -142,7 +196,7 @@ class SnapshotTable:
         files = self.data_files(snap["snapshot_id"])
         kept = []
         for p in files:
-            s = stats.get(os.path.basename(p), {}).get(col)
+            s = stats.get(p, {}).get(col)
             if s is None:  # no stats for this file/column → must read it
                 kept.append(p)
                 continue
@@ -179,7 +233,8 @@ class SnapshotTable:
         schema — columns added by later commits come back as typed nulls, and
         column order follows the current schema — so old and new snapshots
         union cleanly."""
-        df = spark.read.parquet(self.snapshot(snapshot_id)["data_dir"])
+        snap = self.snapshot(snapshot_id)
+        df = spark.read.parquet(*(snap.get("files") or [snap["data_dir"]]))
         if with_current_schema:
             cur = self.current_snapshot()
             if cur is not None:
@@ -199,10 +254,7 @@ class SnapshotTable:
     # -- maintenance ------------------------------------------------------------
     def data_files(self, snapshot_id: str | None = None) -> list[str]:
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
-        d = snap["data_dir"]
-        return sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-        )
+        return list(snap.get("files") or _list_parquet(snap["data_dir"]))
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> dict:
         """Small-file compaction: rewrite the current snapshot's data into
@@ -216,7 +268,8 @@ class SnapshotTable:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         sid = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.root, f"snap-{sid}")
-        spark.read.parquet(snap["data_dir"]).coalesce(target_files).write.mode(
+        src = snap.get("files") or [snap["data_dir"]]
+        spark.read.parquet(*src).coalesce(target_files).write.mode(
             "overwrite"
         ).parquet(data_dir)
         rewritten = spark.read.parquet(data_dir)
@@ -231,6 +284,7 @@ class SnapshotTable:
             "parent_id": snap["snapshot_id"],
             "created_unix": int(time.time()),
             "data_dir": data_dir,
+            "files": _list_parquet(data_dir),
             "schema": rewritten.schema.jsonValue(),
             "operation": "compact",
             "file_stats": _harvest_file_stats(data_dir),  # not the old files'
@@ -239,19 +293,25 @@ class SnapshotTable:
         return manifest
 
 
+def _list_parquet(data_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def _harvest_file_stats(data_dir: str) -> dict:
     """Per-file column min/max from parquet footers (metadata-only I/O —
-    a few KB per file regardless of data size). Top-level primitive
-    int/float/string columns only; others are simply absent from the stats
-    map, which read_range treats as 'must read'."""
+    a few KB per file regardless of data size), keyed by FULL path so
+    appended snapshots can union stats across data dirs. Top-level
+    primitive int/float/string columns only; others are simply absent from
+    the stats map, which read_range treats as 'must read'."""
     import pyarrow.parquet as pq
 
     stats: dict[str, dict] = {}
-    for fname in sorted(os.listdir(data_dir)):
-        if not fname.endswith(".parquet"):
-            continue
+    for fpath in _list_parquet(data_dir):
         try:
-            md = pq.ParquetFile(os.path.join(data_dir, fname)).metadata
+            md = pq.ParquetFile(fpath).metadata
         except Exception:
             continue  # unreadable footer → no stats, never block the commit
         per_col: dict[str, list] = {}
@@ -278,7 +338,7 @@ def _harvest_file_stats(data_dir: str) -> dict:
                                      max(per_col[name][1], mx)]
                 else:
                     per_col[name] = [mn, mx]
-        stats[fname] = per_col
+        stats[fpath] = per_col
     return stats
 
 

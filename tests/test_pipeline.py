@@ -550,3 +550,42 @@ def test_manifest_cluster_and_bloom(spark, tmp_path):
     assert size_bloom > size_plain + 1000
     assert t.read(spark).count() == t2.read(spark).count() == 20000
     _ = pq.ParquetFile(t.data_files()[0]).metadata  # footers stay readable
+
+
+def test_manifest_append_snapshots(spark, tmp_path):
+    """Iceberg append semantics: a new snapshot references the parent's
+    files plus the batch's — no rewrite; time travel to the parent sees
+    only the old rows; stats union keeps file pruning working across
+    appended dirs; compact of the union conserves rows."""
+    from pyspark.sql import functions as F
+
+    from geopull_spark.sources.manifest import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "ap"))
+    base = spark.range(0, 1000).select(F.col("id").alias("k"))
+    s1 = t.commit(base.repartitionByRange(4, "k"), fingerprint="fp-base")
+    batch = spark.range(1000, 1500).select(F.col("id").alias("k"))
+    s2 = t.append(batch.repartitionByRange(2, "k"), fingerprint="fp-d1")
+
+    assert s2["parent_id"] == s1["snapshot_id"]
+    assert s2["row_count"] == 1500 and t.read(spark).count() == 1500
+    # parent's files were NOT rewritten: they are a subset of the child's
+    assert set(t.data_files(s1["snapshot_id"])) < set(t.data_files())
+    # time travel: parent still reads only the original rows
+    assert t.read_at(spark, s1["snapshot_id"]).count() == 1000
+    # idempotent on fingerprint
+    assert t.append(batch, fingerprint="fp-d1")["snapshot_id"] == s2["snapshot_id"]
+
+    # pruning across both dirs: a needle in the appended range skips every
+    # base file
+    got = t.read_range(spark, "k", lo=1400, hi=1450)
+    assert got.count() == 51
+    assert t.last_scan["files_read"] < len(t.data_files(s1["snapshot_id"]))
+    want = sorted(r["k"] for r in t.read(spark)
+                  .filter(F.col("k").between(1400, 1450)).collect())
+    assert sorted(r["k"] for r in got.collect()) == want
+
+    # compact the appended table into one file; rows conserved
+    s3 = t.compact(spark, target_files=1)
+    assert s3["row_count"] == 1500 and len(t.data_files()) == 1
+    assert t.read(spark).count() == 1500
