@@ -444,6 +444,15 @@ def assign_block_ids(pre: DataFrame) -> DataFrame:
     semantics, blocker.py:296-322)."""
     from pyspark.sql import Window
 
+    # dp-sized explicit repartition on the window keys (r6): the window's
+    # own exchange would use spark.sql.shuffle.partitions (128 at the bench
+    # config) and is not AQE-coalesced, leaving 128 tiny reduce tasks AND a
+    # 128-partition cache for every downstream consumer (cell index, refine
+    # geometry, assignment probes all re-scan blocks). The explicit
+    # repartition satisfies the window's hash(region, geohash) requirement,
+    # so no second exchange is added — same shuffle, dp tasks.
+    dp = pre.sparkSession.sparkContext.defaultParallelism
+    pre = pre.repartition(dp, "region_code", "geohash")
     w = Window.partitionBy("region_code", "geohash").orderBy(F.col("geometry").asc())
     return (
         pre.withColumn("georank", F.row_number().over(w) - 1)

@@ -229,9 +229,19 @@ def normalize_land(
                 F.col("region_code").alias("o_region"), F.col("geometry").alias("o_geometry")
             ).withColumn("role", F.lit("coast"))
         )
+    # Explicit dp-sized repartition on the group key (r6): AQE does not
+    # reliably coalesce cogroup input exchanges, so the kernel stage
+    # otherwise inherits spark.sql.shuffle.partitions tasks (128 at the
+    # bench config) — each Python task pays a fixed runner/Arrow floor that
+    # dominates this stage's tiny per-region kernels. defaultParallelism
+    # scales with the cluster, and the normalize kernel's inputs per region
+    # (admin/water/coast polygons) stay small relative to the street load,
+    # so one task slot per core is the right granularity at every size.
+    dp = admin_num.sparkSession.sparkContext.defaultParallelism
     return (
         admin_num.select("region_code", "admin_level", "geometry")
+        .repartition(dp, "region_code")
         .groupBy("region_code")
-        .cogroup(other.groupBy("o_region"))
+        .cogroup(other.repartition(dp, "o_region").groupBy("o_region"))
         .applyInPandas(_normalize_cogroup, LAND_SCHEMA)
     )

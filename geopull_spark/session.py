@@ -63,6 +63,28 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
+    # Python workers launch through a PYTHONPATH-sanitizing wrapper: with
+    # pyspark.zip (and inherited jars) on the worker path, CPython 3.11's
+    # eager zipimport invalidation costs ~150 ms PER TASK inside pyspark's
+    # setup_spark_files (one TOC re-parse per cached zip finder — measured,
+    # see pyworker.sh). The wrapper strips archive entries so workers import
+    # the pip pyspark from site-packages like the driver does. Opt out with
+    # GEOPULL_WORKER_PYTHON=python (or any interpreter path).
+    worker_py = os.environ.get("GEOPULL_WORKER_PYTHON")
+    if worker_py is None:
+        wrapper = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pyworker.sh")
+        if os.access(wrapper, os.X_OK):
+            # wrap whatever interpreter was configured (default "python")
+            prev = os.environ.get("PYSPARK_PYTHON")
+            if prev and os.path.basename(prev) != "pyworker.sh":
+                os.environ["GEOPULL_BASE_PYTHON"] = prev
+            worker_py = wrapper
+    if worker_py:
+        # pyspark resolves the worker interpreter from PYSPARK_PYTHON at
+        # SparkContext init (spark.pyspark.python alone is not consulted by
+        # the in-process python driver), so set both.
+        os.environ["PYSPARK_PYTHON"] = worker_py
+        b = b.config("spark.pyspark.python", worker_py)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

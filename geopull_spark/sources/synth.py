@@ -171,7 +171,10 @@ def gen_osm_ways(spark: SparkSession, streets_per_region: int = 60,
             _region_fixed_ways(r, 1_000_000_000 + i * _FIXED_PER_REGION, specs[r],
                                keep_level4=(i % 3 != 2))
         )
-    fixed_df = spark.createDataFrame(fixed, OSM_WAYS_SCHEMA)
+    # one partition for the tiny fixed-ways relation: the default dp-slice
+    # parallelize doubles the cached table's partition count, and every
+    # downstream extract scan pays a fixed per-task floor per partition (r6)
+    fixed_df = spark.createDataFrame(fixed, OSM_WAYS_SCHEMA).coalesce(1)
 
     total = streets_per_region * n_regions
     base = spark.range(0, total, 1, numPartitions=max(spark.sparkContext.defaultParallelism, 4))
