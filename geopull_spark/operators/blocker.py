@@ -74,6 +74,23 @@ BLOCKS_PRE_SCHEMA = T.StructType(
     + _BBOX_FIELDS
 )
 
+# raw group-kernel output (r6): faces + areas only. The per-block
+# post-processing (representative point, geohash, canonical normalize,
+# bounds) is embarrassingly parallel, so it moved OUT of the per-(region,
+# part) cogroup into a flat stage whose parallelism is bounded by cores,
+# not by group count — the group-serial portion of the kernel shrinks to
+# noding + face extraction + the area-gated corrections (which need the
+# whole group's areas and cannot leave). Profiled at 1200 streets/region:
+# the post chain was ~55% of kernel time, all of it previously serialized
+# per region.
+BLOCKS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("region_code", T.StringType()),
+        T.StructField("geometry", T.BinaryType()),
+        T.StructField("area_m2", T.DoubleType()),
+    ]
+)
+
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("region_code", T.StringType()),
@@ -160,10 +177,12 @@ def _remove_overlaps(blocks: list, areas: list, region: str,
     return out, out_areas
 
 
-def _geohash_blocks(blocks: list, areas: list, region: str,
-                    precision: int = 12) -> pd.DataFrame:
+def _geohash_blocks(blocks: list, areas: list, region: str | None,
+                    precision: int = 12, regions: list | None = None) -> pd.DataFrame:
     """blocker.py:296-322 geohash + rep point + bbox; georank/block_id are
-    assigned downstream by a region-wide window (part-split invariant)."""
+    assigned downstream by a region-wide window (part-split invariant).
+    ``region`` broadcasts one region code to every row; ``regions`` supplies
+    per-row codes (the r6 flat post-stage, where one batch mixes regions)."""
     if not blocks:
         return pd.DataFrame(columns=BLOCKS_PRE_SCHEMA.fieldNames())
     reps = np.array([representative_point(b[1]) for b in blocks])
@@ -173,7 +192,7 @@ def _geohash_blocks(blocks: list, areas: list, region: str,
     bounds = np.array([_wkb.bounds(g) for g in norm])
     return pd.DataFrame(
         {
-            "region_code": region,
+            "region_code": regions if regions is not None else region,
             "geohash": ghs,
             "geometry": wkbs,
             "area_m2": areas,
@@ -187,10 +206,25 @@ def _geohash_blocks(blocks: list, areas: list, region: str,
     )
 
 
+def _post_blocks_batches(batches):
+    """Flat per-block post-processing (r6): raw face WKB → rep point,
+    geohash, canonical normalize, bounds. Same functions, same values as
+    the former in-kernel _geohash_blocks tail — only the stage boundary
+    moved (dumps→loads of float64 WKB is exact)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        geoms = [_wkb.loads(bytes(b)) for b in pdf["geometry"]]
+        yield _geohash_blocks(
+            geoms, list(pdf["area_m2"]), None,
+            regions=list(pdf["region_code"]),
+        )
+
+
 def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
     """One kernel invocation per (region, land_part) group."""
     if len(land_pdf) == 0:
-        return pd.DataFrame(columns=BLOCKS_PRE_SCHEMA.fieldNames())
+        return pd.DataFrame(columns=BLOCKS_RAW_SCHEMA.fieldNames())
     region = land_pdf["region_code"].iloc[0]
     land_parts = []
     for buf in land_pdf["geometry"]:
@@ -246,7 +280,14 @@ def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFr
         blocks = blocks + residue
         areas = areas + [geom_area_m2(p) for p in residue]
 
-    return _geohash_blocks(blocks, areas, region)
+    return pd.DataFrame(
+        {
+            "region_code": region,
+            "geometry": [_wkb.dumps(b) for b in blocks],
+            "area_m2": areas,
+        },
+        columns=BLOCKS_RAW_SCHEMA.fieldNames(),
+    )
 
 
 def build_blocks(land: DataFrame, lines: DataFrame, route: str = "auto") -> DataFrame:
@@ -432,11 +473,17 @@ def build_blocks_pre(land: DataFrame, lines: DataFrame,
         np_ = dp * 16
     land_g = land.repartition(np_, "region_code", "part_id")
     lines_g = lines_parts.repartition(np_, "l_region", "l_part")
-    return (
+    raw = (
         land_g.groupBy("region_code", "part_id")
         .cogroup(lines_g.groupBy("l_region", "l_part"))
-        .applyInPandas(_block_cogroup_adapter, BLOCKS_PRE_SCHEMA)
+        .applyInPandas(_block_cogroup_adapter, BLOCKS_RAW_SCHEMA)
     )
+    # flat per-block post-processing on dp partitions: the round-robin
+    # repartition decouples its parallelism from the group count (the
+    # blocks-side 8→32 scaling limiter — one fat region no longer owns its
+    # blocks' rep-point/normalize work), and dp tasks keep the Python-stage
+    # floor at one wave
+    return raw.repartition(dp).mapInPandas(_post_blocks_batches, BLOCKS_PRE_SCHEMA)
 
 
 def assign_block_ids(pre: DataFrame) -> DataFrame:

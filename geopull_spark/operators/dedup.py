@@ -61,7 +61,16 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
                 out[i] = [int(x) for x in sigs[j]]
         return pd.Series(out, dtype=object)
 
-    sig = docs.select(id_col, mh(F.col(text_col)).alias("bands"))
+    d = docs.select(id_col, text_col)
+    # The kernel stage inherits the scan's partitioning; a single-row-group
+    # parquet input (the small-sf shape) would run the whole signature pass
+    # on ONE core. Spread only when the input is narrower than the cluster —
+    # at crawl scale the scan already has >= dp partitions and no shuffle of
+    # text payload is added (r6).
+    dp = docs.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < dp:
+        d = d.repartition(dp)
+    sig = d.select(id_col, mh(F.col(text_col)).alias("bands"))
     return sig.select(
         id_col, *[F.col("bands")[b].alias(f"band{b}") for b in range(n_bands)]
     )
