@@ -68,7 +68,7 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", n_bands: int = 8,
     # at crawl scale the scan already has >= dp partitions and no shuffle of
     # text payload is added (r6).
     dp = docs.sparkSession.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < dp:
+    if not d.isStreaming and d.rdd.getNumPartitions() < dp:
         d = d.repartition(dp)
     sig = d.select(id_col, mh(F.col(text_col)).alias("bands"))
     return sig.select(
