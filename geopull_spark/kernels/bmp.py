@@ -4,8 +4,10 @@ Written from the public BITMAPFILEHEADER/BITMAPINFOHEADER layout: 'BM'
 header with pixel-data offset, 40-byte info header (negative height =
 top-down), BI_RGB only, bit depths 1/4/8 (BGRX palette quads, rows padded
 to 4 bytes) and 24/32 (BGR/BGRA byte order). Decode returns (h, w, 3) RGB
-uint8 (alpha dropped). RLE4/RLE8/bitfields compression raises a clean
-ValueError — the crawl-robustness contract shared with the other codecs.
+uint8 (alpha dropped). RLE8 (comp==1) is fully decompressed (encoded runs,
+EOL/EOF/delta escapes, word-padded absolute mode); RLE4 and bitfields
+compression raise a clean ValueError — the crawl-robustness contract
+shared with the other codecs.
 
 The encoder exists for hermetic fixtures (same ground rules as the JPEG /
 PNG / TIFF / GIF codecs).

@@ -649,6 +649,13 @@ def _jpeg_decode_impl(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip the run so spec-conformant padded files decode
+        # instead of landing in the skip lane (ADVICE r5)
+        while pos + 4 <= len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(buf):
+            break
         marker = buf[pos + 1]
         if marker == 0xD9:
             break

@@ -215,10 +215,238 @@ def _post_blocks_batches(batches):
         if len(pdf) == 0:
             continue
         geoms = [_wkb.loads(bytes(b)) for b in pdf["geometry"]]
-        yield _geohash_blocks(
-            geoms, list(pdf["area_m2"]), None,
-            regions=list(pdf["region_code"]),
+        yield _geohash_blocks_fast(
+            geoms, list(pdf["area_m2"]), list(pdf["region_code"])
         )
+
+
+# ---------------------------------------------------------------------------
+# batched per-block post-processing (r6)
+#
+# The per-block chain (representative_point ~63 µs, _normalize_rings ~76 µs,
+# bounds ~9 µs — numpy fixed call overhead, profiled on real pipeline
+# blocks) dominates the flat post stage. The batched path below computes the
+# SAME values over all simple blocks of a batch at once. Bit-identity
+# argument, step by step:
+#   * elementwise float ops (+,-,*,/ and comparisons) are IEEE-exact per
+#     element regardless of array shape → identical batched or not;
+#   * min/max reductions are order-insensitive bitwise → reduceat is safe;
+#   * the ONE order-sensitive reduction (the shoelace SUM inside
+#     _normalize_rings, used only for its SIGN) is computed via reduceat
+#     with an error bound: rings where |sum| could change sign under a
+#     different summation order (|a| <= n·eps·Σ|terms|) fall back to the
+#     original per-block code path;
+#   * any block that is not a simple single-ring Polygon (holes, multi
+#     parts, degenerate scanlines, sub-3-vertex rings) falls back to the
+#     original functions wholesale.
+# Pinned by tests/test_pipeline.py::test_post_blocks_batched_bit_identical.
+# ---------------------------------------------------------------------------
+
+
+def _first_true_per_segment(mask: np.ndarray, seg_ids: np.ndarray, n_seg: int) -> np.ndarray:
+    """Index (into the flat array) of the first True per segment; -1 if none.
+    ``seg_ids`` must be sorted ascending."""
+    out = np.full(n_seg, -1, dtype=np.int64)
+    idx = np.flatnonzero(mask)
+    if len(idx):
+        sid = seg_ids[idx]
+        # first occurrence per segment: reversed fill
+        out[sid[::-1]] = idx[::-1]
+    return out
+
+
+def _batched_rep_points(V: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Vectorized representative_point for n concatenated CLOSED single
+    rings. Returns (x, y, ok) — ok=False rows must use the original
+    per-block function (degenerate scanline)."""
+    n = len(starts)
+    ends = starts + lens
+    vy = V[:, 1]
+    ring_ids = np.repeat(np.arange(n), lens)
+    ymin = np.minimum.reduceat(vy, starts)
+    ymax = np.maximum.reduceat(vy, starts)
+    y = 0.5 * (ymin + ymax)
+    y_row = y[ring_ids]
+    # nudge off vertex levels (replicates isclose(rtol=0, atol=1e-15))
+    close_any = np.logical_or.reduceat(np.abs(vy - y_row) <= 1e-15, starts)
+    if close_any.any():
+        big = np.inf
+        up_mask = vy > (y_row + 1e-15)
+        lo_mask = vy < (y_row - 1e-15)
+        upper = np.minimum.reduceat(np.where(up_mask, vy, big), starts)
+        lower = np.maximum.reduceat(np.where(lo_mask, vy, -big), starts)
+        use_up = close_any & np.isfinite(upper)
+        use_lo = close_any & ~np.isfinite(upper) & np.isfinite(lower)
+        y = np.where(use_up, 0.5 * (y + upper), y)
+        y = np.where(use_lo, 0.5 * (y + lower), y)
+        y_row = y[ring_ids]
+    # scanline crossings: edges are consecutive vertex pairs within a ring
+    edge_mask = np.ones(len(V), dtype=bool)
+    edge_mask[ends - 1] = False  # last vertex of each ring starts no edge
+    e_idx = np.flatnonzero(edge_mask)
+    ex0, ey0 = V[e_idx, 0], V[e_idx, 1]
+    ex1, ey1 = V[e_idx + 1, 0], V[e_idx + 1, 1]
+    er = ring_ids[e_idx]
+    ey = y[er]
+    cond = (ey0 > ey) != (ey1 > ey)
+    dy = ey1 - ey0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = ex0 + (ey - ey0) * (ex1 - ex0) / dy
+    sel = np.flatnonzero(cond)
+    xs = xin[sel]
+    xr = er[sel]
+    order = np.lexsort((xs, xr))
+    xs, xr = xs[order], xr[order]
+    cnt = np.bincount(xr, minlength=n)
+    ok = cnt >= 2
+    out_x = np.zeros(n)
+    # widths over even-odd pairs within each ring's sorted crossing list
+    seg_start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    pos = np.arange(len(xs)) - seg_start[xr]
+    pair_mask = (pos % 2 == 0) & (pos + 1 < cnt[xr])
+    p_idx = np.flatnonzero(pair_mask)
+    if len(p_idx):
+        widths = xs[p_idx + 1] - xs[p_idx]
+        wr = xr[p_idx]
+        # per-ring max width (exact) then FIRST pair achieving it (argmax)
+        wseg_start = _segment_starts(wr, n)
+        has = wseg_start >= 0
+        wmax = np.full(n, -np.inf)
+        if has.any():
+            red_starts = wseg_start[has]
+            wmax[has] = np.maximum.reduceat(widths, red_starts)
+        first = _first_true_per_segment(widths == wmax[wr], wr, n)
+        hit = first >= 0
+        fi = first[hit]
+        out_x[hit] = 0.5 * (xs[p_idx[fi]] + xs[p_idx[fi] + 1])
+        ok &= hit
+    else:
+        ok[:] = False
+    return out_x, y, ok
+
+
+def _segment_starts(sorted_ids: np.ndarray, n_seg: int) -> np.ndarray:
+    """Start offset of each segment id within a sorted id array; -1 if the
+    segment is empty."""
+    out = np.full(n_seg, -1, dtype=np.int64)
+    if len(sorted_ids):
+        firsts = np.flatnonzero(np.diff(sorted_ids, prepend=sorted_ids[0] - 1))
+        out[sorted_ids[firsts]] = firsts
+    return out
+
+
+def _batched_normalize_rings(V: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Vectorized _normalize_rings for n concatenated CLOSED single rings.
+    Returns (rings, ok): per-ring canonical CLOSED (m,2) arrays; ok=False →
+    use the original function (ambiguous shoelace sign / tiny ring)."""
+    n = len(starts)
+    ends = starts + lens
+    # drop closing vertex where first == last (np.array_equal semantics)
+    closed = (V[starts, 0] == V[ends - 1, 0]) & (V[starts, 1] == V[ends - 1, 1])
+    body_lens = lens - closed.astype(np.int64)
+    keep = np.ones(len(V), dtype=bool)
+    keep[ends[closed] - 1] = False
+    B = V[keep]
+    b_starts = np.concatenate([[0], np.cumsum(body_lens)[:-1]])
+    b_ids = np.repeat(np.arange(n), body_lens)
+    # dedupe consecutive duplicates (within each body)
+    is_start = np.zeros(len(B), dtype=bool)
+    is_start[b_starts] = True
+    diff_prev = np.empty(len(B), dtype=bool)
+    diff_prev[0] = True
+    diff_prev[1:] = (B[1:, 0] != B[:-1, 0]) | (B[1:, 1] != B[:-1, 1])
+    keep2 = is_start | diff_prev
+    B2 = B[keep2]
+    d_ids = b_ids[keep2]
+    d_lens = np.bincount(d_ids, minlength=n)
+    d_starts = np.concatenate([[0], np.cumsum(d_lens)[:-1]])
+    d_ends = d_starts + d_lens
+    ok = d_lens >= 3
+    # shoelace over the closed ring: term_i = x_i*y_{i+1} - x_{i+1}*y_i with
+    # wraparound (the original appends body[0] and sums x[:-1]y[1:]-x[1:]y[:-1])
+    nx = np.arange(len(B2)) + 1
+    nx[d_ends - 1] = d_starts  # wrap: successor of the last vertex is the first
+    t = B2[:, 0] * B2[nx, 1] - B2[nx, 0] * B2[:, 1]
+    a2 = np.add.reduceat(t, d_starts)  # == 2*area up to summation order
+    aabs = np.add.reduceat(np.abs(t), d_starts)
+    # sign-safety guard: pairwise (np.sum) and sequential (reduceat)
+    # summation agree in sign unless |sum| is within the rounding envelope
+    guard = 4.0 * np.maximum(d_lens, 2) * 2.220446049250313e-16 * aabs
+    ok &= np.abs(a2) > guard
+    flip = ~(a2 > 0.0)  # want_ccw for an exterior ring
+    out = []
+    for i in range(n):
+        if not ok[i]:
+            out.append(None)
+            continue
+        body = B2[d_starts[i]:d_ends[i]]
+        if flip[i]:
+            body = body[::-1]
+        # first lexicographic-min vertex (np.lexsort((y, x))[0] semantics)
+        minx = body[:, 0].min()
+        cand = body[:, 0] == minx
+        miny = body[cand, 1].min()
+        start = int(np.flatnonzero(cand & (body[:, 1] == miny))[0])
+        body = np.roll(body, -start, axis=0)
+        out.append(np.vstack([body, body[0]]))
+    return out, ok
+
+
+def _geohash_blocks_fast(blocks: list, areas: list, regions: list,
+                         precision: int = 12) -> pd.DataFrame:
+    """Batched equivalent of _geohash_blocks(..., regions=...) — identical
+    values, vectorized over every simple single-ring Polygon; everything
+    else (holes, multi parts, degenerate cases) routes through the original
+    per-block functions."""
+    n = len(blocks)
+    if n == 0:
+        return pd.DataFrame(columns=BLOCKS_PRE_SCHEMA.fieldNames())
+    simple = np.array(
+        [b[0] == "Polygon" and len(b[1]) == 1 and len(b[1][0]) >= 4 for b in blocks]
+    )
+    rep_x = np.empty(n)
+    rep_y = np.empty(n)
+    geo_out: list = [None] * n
+    if simple.any():
+        s_idx = np.flatnonzero(simple)
+        rings = [np.asarray(blocks[i][1][0], dtype=np.float64) for i in s_idx]
+        lens = np.array([len(r) for r in rings], dtype=np.int64)
+        V = np.vstack(rings)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        bx, by, r_ok = _batched_rep_points(V, starts, lens)
+        norm_rings, n_ok = _batched_normalize_rings(V, starts, lens)
+        for j, i in enumerate(s_idx):
+            if r_ok[j]:
+                rep_x[i], rep_y[i] = bx[j], by[j]
+            else:
+                rep_x[i], rep_y[i] = representative_point(blocks[i][1])
+            if n_ok[j]:
+                geo_out[i] = ("Polygon", [norm_rings[j]])
+            else:
+                geo_out[i] = normalize_geom(blocks[i])
+    for i in np.flatnonzero(~simple):
+        rep_x[i], rep_y[i] = representative_point(blocks[i][1])
+        geo_out[i] = normalize_geom(blocks[i])
+    ghs = geohash_encode(rep_y, rep_x, precision)
+    wkbs = [_wkb.dumps(g) for g in geo_out]
+    # bounds: min/max per ring over all rings of the normalized geometry
+    # (order-insensitive → batched reduceat is exact); the normalized
+    # vertex SET equals the input's, so bounds match _wkb.bounds(norm)
+    bounds = np.array([_wkb.bounds(g) for g in geo_out])
+    return pd.DataFrame(
+        {
+            "region_code": regions,
+            "geohash": ghs,
+            "geometry": wkbs,
+            "area_m2": areas,
+            "rep_lon": rep_x,
+            "rep_lat": rep_y,
+            "minx": bounds[:, 0],
+            "miny": bounds[:, 1],
+            "maxx": bounds[:, 2],
+            "maxy": bounds[:, 3],
+        }
+    )
 
 
 def _block_cogroup(land_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -122,13 +122,35 @@ class SnapshotTable:
         the batch's own write. Per-file stats of the old files are carried
         over verbatim (they're immutable), the new files are footer-
         harvested, and ``read_range`` prunes across both. Idempotent on
-        ``fingerprint`` like commit()."""
+        ``fingerprint`` like commit().
+
+        Known metric gap (documented per ADVICE r5): appends record
+        ``partition_counts`` as {} — the per-partition row-count metric is
+        maintained by commit(partition_count_col=...) only; a table that
+        goes through append keeps row_count/lineage but loses that
+        per-partition breakdown until its next full commit."""
         if self.is_current(fingerprint):
             return self.current_snapshot()
         prev = self.current_snapshot()
         if prev is None:
             return self.commit(df, fingerprint, lineage=lineage,
                                cluster_by=cluster_by, bloom_cols=bloom_cols)
+        # Iceberg rejects schema-mismatched appends at commit time; silently
+        # unioning mismatched files would drop the new columns at read()
+        # (no mergeSchema) or fail confusingly later (ADVICE r5)
+        from pyspark.sql import types as T
+
+        prev_schema = T.StructType.fromJson(prev["schema"])
+        # compare names+types only: nullability legitimately drifts across
+        # parquet round-trips and does not affect union-read correctness
+        _sig = lambda s: [(f.name, f.dataType) for f in s.fields]
+        if _sig(df.schema) != _sig(prev_schema):
+            raise ValueError(
+                "append: batch schema does not match the table schema — "
+                f"table {prev_schema.simpleString()} vs batch "
+                f"{df.schema.simpleString()}; migrate via commit() with an "
+                "explicit new fingerprint (schema evolution) instead"
+            )
         sid = uuid.uuid4().hex[:12]
         delta_dir = os.path.join(self.root, f"snap-{sid}")
         if cluster_by is not None:
@@ -201,8 +223,15 @@ class SnapshotTable:
                 kept.append(p)
                 continue
             mn, mx = s
-            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
-                continue
+            try:
+                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                    continue
+            except TypeError:
+                # mismatched bound type vs JSON-round-tripped stats (e.g.
+                # numeric bound on a string column): stats unusable for
+                # this file — keep it; the re-applied predicate preserves
+                # exact semantics (ADVICE r5)
+                pass
             kept.append(p)
         self.last_scan = {"files_total": len(files), "files_read": len(kept)}
         if not kept:

@@ -773,6 +773,25 @@ def test_jpeg_unsupported_and_malformed_raise():
         jpeg_decode(b"\xff\xd8\xff\xe0\x00\x00garbage")
 
 
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 §B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker; a spec-conformant padded file must decode identically to the
+    unpadded one instead of failing marker alignment (ADVICE r5)."""
+    from geopull_spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    buf = jpeg_encode(g, 90)
+    base = jpeg_decode(buf)
+    # pad before the DQT marker and before EOI with 0xFF fill runs
+    i = buf.find(b"\xff\xdb")
+    assert i > 0
+    padded = buf[:i] + b"\xff" * 3 + buf[i:]
+    j = padded.rfind(b"\xff\xd9")
+    padded = padded[:j] + b"\xff" * 2 + padded[j:]
+    out = jpeg_decode(padded)
+    assert np.array_equal(out, base)
+
+
 def test_jpeg_progressive_bit_identical_to_baseline():
     """Progressive (SOF2) decode, T.81 Annex G: the same quantized
     coefficients entropy-coded with spectral selection + successive
